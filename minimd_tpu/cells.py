@@ -1,0 +1,254 @@
+"""Cell (bin) geometry and the sort-based binning pipeline.
+
+This replaces the reference's Neighbor class (ref/neighbor.cpp) with a
+TPU-native design:
+
+- Atoms live in a fixed-capacity, cell-major padded layout: slot
+  `cell*C + r` holds the r-th atom of `cell`; empty slots hold far-away
+  sentinel positions so they fall out of every cutoff test naturally.
+- "Binning" is a stable sort by cell id + scatter (the Kokkos variant's
+  scan-based binning, kokkos/neighbor.cpp:415-456, recast as lax.sort) —
+  and doubles as the reference's `Atom::sort` locality sort for free.
+- The neighbor *stencil* (which cells can contain interaction partners,
+  ref/neighbor.cpp:405-440 + bindist :456-482) becomes a per-cell candidate
+  table `cand_cell` plus periodic image shifts `cand_shift`, computed once
+  on the host. Single-device runs need no ghost atoms at all: periodicity
+  is folded into the shifts.
+
+The skin guarantee is identical to the reference's: as long as no atom moves
+more than skin/2 between rebinnings, the frozen cell assignment covers the
+exact same pair set as a frozen Verlet list built with cutneigh
+(ref/neighbor.cpp:79-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_FACTOR = 0.999  # stencil safety factor (ref/neighbor.cpp:36 FACTOR)
+
+# Sentinel coordinates for empty slots: far from the box and from each other,
+# so empty-empty and empty-real pairs always fail the cutoff test.
+_SENTINEL_BASE = 1.0e6
+_SENTINEL_SPACING = 1.0e3
+
+
+@dataclasses.dataclass(frozen=True)
+class CellGeometry:
+    """Static (host-side) cell decomposition of a periodic box."""
+
+    nb: tuple[int, int, int]          # cells per dimension
+    binsize: tuple[float, float, float]
+    capacity: int                     # C: max atoms per cell (padded)
+    stencil: np.ndarray               # (S, 3) int offsets
+    cand_cell: np.ndarray             # (ncells, S) int32 candidate cell ids
+    cand_shift: np.ndarray            # (ncells, S, 3) int8 periodic wrap counts
+    prd: tuple[float, float, float]
+    # Grid-origin offset: crystal planes can align exactly with cell
+    # boundaries (the default FCC deck does), which doubles the max cell
+    # occupancy. The offset de-aligns them; atoms that fall left of the
+    # offset are stored "unfolded" at x+prd so each cell's contents stay
+    # spatially contiguous and the stencil shifts remain valid.
+    offset: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    @property
+    def ncells(self) -> int:
+        return self.nb[0] * self.nb[1] * self.nb[2]
+
+    @property
+    def nslots(self) -> int:
+        return self.ncells * self.capacity
+
+    @property
+    def nstencil(self) -> int:
+        return self.stencil.shape[0]
+
+
+def _bindist_sq(off: np.ndarray, binsize: np.ndarray) -> np.ndarray:
+    """Closest distance² between cell (0,0,0) and cell at integer offset.
+
+    (ref/neighbor.cpp:456-482)
+    """
+    d = (np.abs(off) - 1).clip(min=0) * binsize
+    return (d * d).sum(axis=-1)
+
+
+def build_stencil(binsize: np.ndarray, cutneigh: float) -> np.ndarray:
+    """Integer cell offsets whose closest corner is within cutneigh.
+
+    (full-list stencil, ref/neighbor.cpp:405-440; we always build full
+    stencils — Newton half-lists are a scatter optimization that does not
+    pay on TPU, see SURVEY.md §2.4 P7.)
+    """
+    nxt = (cutneigh / binsize).astype(int)
+    nxt += (nxt * binsize < _FACTOR * cutneigh).astype(int)
+    rng = [np.arange(-n, n + 1) for n in nxt]
+    dz, dy, dx = np.meshgrid(rng[2], rng[1], rng[0], indexing="ij")
+    off = np.stack([dx.ravel(), dy.ravel(), dz.ravel()], axis=1)
+    keep = _bindist_sq(off, binsize) < cutneigh * cutneigh
+    return off[keep].astype(np.int32)
+
+
+def choose_grid(prd, cutneigh: float, nbins=None) -> tuple[int, int, int]:
+    """Default: largest grid with binsize >= cutneigh (27-cell stencil),
+    which maximizes density of useful pairs in the dense kernel."""
+    if nbins is not None:
+        return tuple(int(max(1, b)) for b in nbins)
+    return tuple(int(max(1, np.floor(p / cutneigh))) for p in prd)
+
+
+def pick_capacity(counts: np.ndarray, mean_density_per_cell: float) -> int:
+    """Cell capacity with headroom for density fluctuations over the run."""
+    base = max(int(counts.max()), int(np.ceil(mean_density_per_cell)))
+    cap = int(np.ceil(base * 1.30)) + 2
+    return ((cap + 7) // 8) * 8  # round to sublane multiple
+
+
+def _best_offsets(x: np.ndarray, prd: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """Per-dimension grid offsets maximizing every atom's clearance from the
+    nearest cell boundary.
+
+    Crystal planes that sit exactly on a cell boundary make the assignment
+    dtype-dependent (f32 rounds different planes to different sides) and
+    unbalance the occupancy, which inflates the padded capacity. Maximizing
+    the minimum boundary clearance fixes both at once.
+    """
+    offs = np.zeros(3)
+    n = len(x)
+    sample = x if n <= 65536 else x[:: n // 65536 + 1]
+    for d in range(3):
+        bs = prd[d] / nb[d]
+        best, bestclear = 0.0, -1.0
+        for frac in np.arange(16) / 16.0:
+            off = frac * bs
+            r = np.mod(sample[:, d] - off, bs)
+            clear = np.minimum(r, bs - r).min()
+            if clear > bestclear:
+                best, bestclear = off, clear
+        offs[d] = best
+    return offs
+
+
+def build_geometry(
+    prd,
+    cutneigh: float,
+    positions: np.ndarray,
+    nbins=None,
+    capacity: int | None = None,
+) -> CellGeometry:
+    """Construct the static cell geometry for a box and initial positions."""
+    prd = np.asarray(prd, dtype=np.float64)
+    nb = choose_grid(prd, cutneigh, nbins)
+    nbx, nby, nbz = nb
+    binsize = prd / np.array(nb, dtype=np.float64)
+    stencil = build_stencil(binsize, cutneigh)
+    S = stencil.shape[0]
+    ncells = nbx * nby * nbz
+
+    # candidate cell table + wrap shifts (vectorized over cells x stencil)
+    cx = np.arange(nbx)
+    cz, cy, cx = np.meshgrid(np.arange(nbz), np.arange(nby), np.arange(nbx), indexing="ij")
+    centers = np.stack([cx.ravel(), cy.ravel(), cz.ravel()], axis=1)  # (ncells,3) x,y,z
+    tgt = centers[:, None, :] + stencil[None, :, :]                    # (ncells,S,3)
+    nbv = np.array(nb)
+    wraps = np.floor_divide(tgt, nbv)                                  # image count
+    cell_xyz = tgt - wraps * nbv
+    cand_cell = (cell_xyz[..., 2] * nby + cell_xyz[..., 1]) * nbx + cell_xyz[..., 0]
+    offset = _best_offsets(np.asarray(positions), prd, nbv)
+    if capacity is None:
+        ids = _coords_to_cell_np(positions, prd, nbv, binsize, offset)
+        counts = np.bincount(ids, minlength=ncells)
+        mean_per_cell = len(positions) / ncells
+        capacity = pick_capacity(counts, mean_per_cell)
+
+    return CellGeometry(
+        nb=(nbx, nby, nbz),
+        binsize=tuple(binsize),
+        capacity=int(capacity),
+        stencil=stencil,
+        cand_cell=cand_cell.astype(np.int32),
+        cand_shift=wraps.astype(np.int8),
+        prd=tuple(prd),
+        offset=tuple(offset),
+    )
+
+
+def _coords_to_cell_np(x: np.ndarray, prd, nbv, binsize, offset=(0.0, 0.0, 0.0)) -> np.ndarray:
+    xw = x - np.floor(x / prd) * prd
+    g = xw - np.asarray(offset)
+    g = np.where(g < 0, g + prd, g)
+    idx = np.minimum((g / binsize).astype(np.int64), nbv - 1)
+    return (idx[:, 2] * nbv[1] + idx[:, 1]) * nbv[0] + idx[:, 0]
+
+
+# --------------------------------------------------------------------------
+# jittable pieces
+# --------------------------------------------------------------------------
+
+def sentinel_positions(nslots: int, dtype) -> jax.Array:
+    base = jnp.arange(nslots, dtype=dtype) * _SENTINEL_SPACING + _SENTINEL_BASE
+    return jnp.stack([base, jnp.zeros_like(base), jnp.zeros_like(base)], axis=1)
+
+
+def pbc_wrap(x: jax.Array, prd) -> jax.Array:
+    """Wrap into [0, prd) with the reference's two-test ordering guarantee
+    (ref/atom.cpp:102-122): one period shift at most per step interval."""
+    prd = jnp.asarray(prd, dtype=x.dtype)
+    x = jnp.where(x < 0.0, x + prd, x)
+    x = jnp.where(x >= prd, x - prd, x)
+    return x
+
+
+def coord_to_cell(xw: jax.Array, geom: CellGeometry) -> tuple[jax.Array, jax.Array]:
+    """Cell id (row-major, x-fastest) + storage ("unfolded") coordinates.
+
+    Coordinates left of the grid offset belong to the last cell of the
+    dimension and are stored at x+prd so the cell's contents are spatially
+    contiguous (see CellGeometry.offset)."""
+    nb = jnp.asarray(geom.nb, dtype=jnp.int32)
+    prd = jnp.asarray(geom.prd, dtype=xw.dtype)
+    off = jnp.asarray(geom.offset, dtype=xw.dtype)
+    inv = jnp.asarray(1.0 / np.asarray(geom.binsize), dtype=xw.dtype)
+    g = xw - off
+    xs = jnp.where(g < 0, xw + prd, xw)
+    g = jnp.where(g < 0, g + prd, g)
+    idx = jnp.clip((g * inv).astype(jnp.int32), 0, nb - 1)
+    return (idx[:, 2] * nb[1] + idx[:, 1]) * nb[0] + idx[:, 0], xs
+
+
+def rebin(x, v, typ, valid, geom: CellGeometry):
+    """Wrap PBC, sort atoms into the cell-major padded layout.
+
+    Returns (x, v, typ, valid, overflow) with every array rebuilt in cell
+    order. `overflow` counts atoms that did not fit in their cell (tests
+    assert it stays 0; the capacity headroom makes this astronomically rare,
+    mirroring the reference's retry-grow loop in spirit).
+    """
+    M = geom.nslots
+    ncells = geom.ncells
+    C = geom.capacity
+    dtype = x.dtype
+
+    xw = pbc_wrap(x, geom.prd)
+    cid, xs = coord_to_cell(xw, geom)
+    cid = jnp.where(valid, cid, jnp.int32(ncells))
+
+    order = jnp.argsort(cid, stable=True)
+    sort_cid = cid[order]
+    starts = jnp.searchsorted(sort_cid, jnp.arange(ncells + 1, dtype=jnp.int32))
+    rank = jnp.arange(M, dtype=jnp.int32) - starts[jnp.clip(sort_cid, 0, ncells)]
+
+    ok = (sort_cid < ncells) & (rank < C)
+    dest = jnp.where(ok, sort_cid * C + rank, M)  # M == out-of-range -> drop
+
+    new_x = sentinel_positions(M, dtype).at[dest].set(xs[order], mode="drop")
+    new_v = jnp.zeros((M, 3), dtype).at[dest].set(v[order], mode="drop")
+    new_t = jnp.zeros((M,), jnp.int32).at[dest].set(typ[order], mode="drop")
+    new_valid = jnp.zeros((M,), bool).at[dest].set(valid[order], mode="drop")
+
+    overflow = jnp.sum((sort_cid < ncells) & (rank >= C))
+    return new_x, new_v, new_t, new_valid, overflow

@@ -1,0 +1,67 @@
+"""Deterministic-setup parity tests (lattice, RNG, velocities, types)."""
+
+import numpy as np
+
+from minimd_tpu import create
+from minimd_tpu.config import builtin_deck
+from minimd_tpu.rng import GlibcRand, park_miller_velocity_triplet
+from minimd_tpu.units import thermo_scales
+
+
+def test_park_miller_reference_values():
+    # First draws of the Park-Miller minimal standard for seed 1:
+    # 16807, 282475249, 1622650073 (well-known sequence).
+    s = np.array([1], dtype=np.int64)
+    from minimd_tpu.rng import park_miller_step
+    s = park_miller_step(s)
+    assert s[0] == 16807
+    s = park_miller_step(s)
+    assert s[0] == 282475249
+    s = park_miller_step(s)
+    assert s[0] == 1622650073
+
+
+def test_glibc_rand_values():
+    # Matches C glibc srand(5413)/rand() (verified against gcc).
+    g = GlibcRand(5413)
+    assert [g.rand() for _ in range(3)] == [1916828675, 2060225091, 1530539373]
+
+
+def test_lattice_counts_and_box():
+    inp = builtin_deck("lj")
+    box = create.create_box(10, 10, 10, inp.rho)
+    lattice = (4.0 / inp.rho) ** (1.0 / 3.0)
+    assert np.isclose(box.xprd, 10 * lattice)
+    x, v = create.create_atoms(10, 10, 10, inp.rho, box)
+    assert len(x) == 4 * 10 * 10 * 10
+    # all on FCC sites: 2x/alat integral, parity even
+    ij = np.round(x / (0.5 * lattice)).astype(int)
+    assert np.all(np.abs(x / (0.5 * lattice) - ij) < 1e-9)
+    assert np.all(ij.sum(axis=1) % 2 == 0)
+    # velocities are Park-Miller uniforms in (0,1) before rescaling
+    assert v.min() > 0.0 and v.max() < 1.0
+
+
+def test_velocity_seed_matches_site_index():
+    """Velocity of the atom at lattice site (i,j,k) must come from seed
+    n = k*(2ny)(2nx) + j*(2nx) + i + 1 (setup.cpp:378)."""
+    inp = builtin_deck("lj")
+    box = create.create_box(4, 4, 4, inp.rho)
+    x, v = create.create_atoms(4, 4, 4, inp.rho, box)
+    alat = (4.0 / inp.rho) ** (1.0 / 3.0)
+    ijk = np.round(x / (0.5 * alat)).astype(np.int64)
+    n = ijk[:, 2] * 8 * 8 + ijk[:, 1] * 8 + ijk[:, 0] + 1
+    vx, vy, vz = park_miller_velocity_triplet(n)
+    assert np.allclose(v, np.stack([vx, vy, vz], axis=1), rtol=0, atol=0)
+
+
+def test_create_velocity_hits_requested_temperature():
+    inp = builtin_deck("lj")
+    box = create.create_box(10, 10, 10, inp.rho)
+    x, v = create.create_atoms(10, 10, 10, inp.rho, box)
+    natoms = len(x)
+    sc = thermo_scales(0, natoms, box.volume)
+    v2 = create.create_velocity(v, 1.44, natoms, 1.0, sc.t_scale)
+    t = (v2 * v2).sum() * sc.t_scale
+    assert np.isclose(t, 1.44, rtol=1e-12)
+    assert np.allclose(v2.sum(axis=0), 0.0, atol=1e-9)
