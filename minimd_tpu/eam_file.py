@@ -1,0 +1,123 @@
+"""DYNAMO funcfl EAM potential: file reader, regrid, cubic-spline tables.
+
+Host-side NumPy port of the reference's table pipeline
+(ref/force_eam.cpp:505-793): read_file -> file2array -> array2spline.
+All arrays are kept 1-indexed like the reference (row 0 unused) so the
+spline-lookup indices `m = int(r*rdr + 1)` match exactly.
+
+The spline layout here is 2-D (n+1, 7) instead of the reference's
+64-aligned flat arrays — alignment is the allocator's business, not the
+math's. z2r units: 27.2*0.529 * zri * zrj (Hartree*Bohr -> eV*Angstrom,
+force_eam.cpp:725).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Funcfl:
+    mass: float
+    nrho: int
+    drho: float
+    nr: int
+    dr: float
+    cut: float
+    frho: np.ndarray  # (nrho+1,) 1-indexed
+    rhor: np.ndarray  # (nr+1,)
+    zr: np.ndarray    # (nr+1,)
+
+
+def read_funcfl(path: str | pathlib.Path) -> Funcfl:
+    """Parse a single-element DYNAMO funcfl file (force_eam.cpp:505-582)."""
+    toks: list[str] = []
+    lines = pathlib.Path(path).read_text().splitlines()
+    # line 0: comment; line 1: atomic number, mass; line 2: grid header
+    mass = float(lines[1].split()[1])
+    nrho, drho, nr, dr, cut = lines[2].split()[:5]
+    nrho, nr = int(nrho), int(nr)
+    drho, dr, cut = float(drho), float(dr), float(cut)
+    for ln in lines[3:]:
+        toks.extend(ln.split())
+    vals = np.array([float(t) for t in toks[: nrho + 2 * nr]], dtype=np.float64)
+    frho = np.concatenate([[0.0], vals[:nrho]])
+    zr = np.concatenate([[0.0], vals[nrho: nrho + nr]])
+    rhor = np.concatenate([[0.0], vals[nrho + nr: nrho + 2 * nr]])
+    return Funcfl(mass=mass, nrho=nrho, drho=drho, nr=nr, dr=dr, cut=cut,
+                  frho=frho, rhor=rhor, zr=zr)
+
+
+def _lagrange_regrid(src: np.ndarray, src_n: int, src_delta: float,
+                     n: int, delta: float) -> np.ndarray:
+    """4-point Lagrange interpolation onto a new grid (file2array's inner
+    loop, force_eam.cpp:630-644). Returns a 1-indexed (n+1,) array."""
+    m = np.arange(1, n + 1)
+    r = (m - 1) * delta
+    p = r / src_delta + 1.0
+    k = np.clip(p.astype(np.int64), 2, src_n - 2)
+    p = np.minimum(p - k, 2.0)
+    sixth = 1.0 / 6.0
+    cof1 = -sixth * p * (p - 1.0) * (p - 2.0)
+    cof2 = 0.5 * (p * p - 1.0) * (p - 2.0)
+    cof3 = -0.5 * p * (p + 1.0) * (p - 2.0)
+    cof4 = sixth * p * (p * p - 1.0)
+    out = np.zeros(n + 1)
+    out[1:] = (cof1 * src[k - 1] + cof2 * src[k]
+               + cof3 * src[k + 1] + cof4 * src[k + 2])
+    return out
+
+
+def file2array(f: Funcfl):
+    """Regrid file tables to the working grid and build z2r
+    (force_eam.cpp:589-728). For a single funcfl the working grid equals the
+    file grid, but the interpolation is reproduced for bit parity."""
+    dr, drho = f.dr, f.drho
+    rmax = (f.nr - 1) * f.dr
+    rhomax = (f.nrho - 1) * f.drho
+    nr = int(rmax / dr + 0.5)
+    nrho = int(rhomax / drho + 0.5)
+
+    frho = _lagrange_regrid(f.frho, f.nrho, f.drho, nrho, drho)
+    rhor = _lagrange_regrid(f.rhor, f.nr, f.dr, nr, dr)
+    zri = _lagrange_regrid(f.zr, f.nr, f.dr, nr, dr)
+    z2r = np.zeros(nr + 1)
+    z2r[1:] = 27.2 * 0.529 * zri[1:] * zri[1:]
+    return nrho, drho, nr, dr, frho, rhor, z2r
+
+
+def array2spline(n: int, delta: float, f: np.ndarray) -> np.ndarray:
+    """7-coefficient cubic spline rows (force_eam.cpp:765-793).
+
+    Row m: [0..2] derivative coefficients (scaled by 1/delta),
+    [3..5] value-polynomial coefficients, [6] the knot value.
+    Returns (n+1, 7); row 0 unused.
+    """
+    sp = np.zeros((n + 1, 7))
+    sp[1:, 6] = f[1: n + 1]
+
+    sp[1, 5] = sp[2, 6] - sp[1, 6]
+    sp[2, 5] = 0.5 * (sp[3, 6] - sp[1, 6])
+    sp[n - 1, 5] = 0.5 * (sp[n, 6] - sp[n - 2, 6])
+    sp[n, 5] = sp[n, 6] - sp[n - 1, 6]
+    m = np.arange(3, n - 1)
+    sp[m, 5] = ((sp[m - 2, 6] - sp[m + 2, 6])
+                + 8.0 * (sp[m + 1, 6] - sp[m - 1, 6])) / 12.0
+
+    m = np.arange(1, n)
+    sp[m, 4] = 3.0 * (sp[m + 1, 6] - sp[m, 6]) - 2.0 * sp[m, 5] - sp[m + 1, 5]
+    sp[m, 3] = sp[m, 5] + sp[m + 1, 5] - 2.0 * (sp[m + 1, 6] - sp[m, 6])
+    sp[n, 4] = 0.0
+    sp[n, 3] = 0.0
+
+    sp[1:, 2] = sp[1:, 5] / delta
+    sp[1:, 1] = 2.0 * sp[1:, 4] / delta
+    sp[1:, 0] = 3.0 * sp[1:, 3] / delta
+    return sp
+
+
+def default_potential_path() -> pathlib.Path:
+    return pathlib.Path(__file__).resolve().parent.parent / "potentials" / "Cu_u6.eam"

@@ -1,0 +1,73 @@
+"""EAM validation: funcfl tables, spline values, golden-trace parity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minimd_tpu.config import builtin_deck
+from minimd_tpu.eam_file import array2spline, default_potential_path, file2array, read_funcfl
+from minimd_tpu.sim import Simulation
+from minimd_tpu.validate import compare_traces, parse_golden
+
+
+def test_funcfl_header():
+    f = read_funcfl(default_potential_path())
+    assert f.mass == 63.550
+    assert f.nrho == 500 and f.nr == 500
+    assert np.isclose(f.cut, 4.95)
+    assert np.isclose(f.drho, 5.0100200400801306e-04)
+    # 1-indexed data: first frho value is 0.0, second is the file's 2nd token
+    assert f.frho[1] == 0.0
+    assert np.isclose(f.frho[2], -3.1589719908208558e-01)
+
+
+def test_spline_structure():
+    """Spline knot values must equal the regridded function; derivative
+    columns scaled by 1/delta (force_eam.cpp:765-793)."""
+    f = read_funcfl(default_potential_path())
+    nrho, drho, nr, dr, frho, rhor, z2r = file2array(f)
+    # the working grid is nr = int((file_nr-1)*dr/dr + 0.5) = file_nr - 1
+    # (force_eam.cpp:612): one point fewer than the file grid.
+    assert nr == f.nr - 1 and nrho == f.nrho - 1
+    sp = array2spline(nr, dr, rhor)
+    assert sp.shape == (nr + 1, 7)
+    assert np.allclose(sp[1:, 6], rhor[1: nr + 1])
+    # regrid onto the identical grid must reproduce the input values
+    assert np.allclose(rhor[1: nr + 1], f.rhor[1: nr + 1], rtol=1e-12)
+    # z2r units: 27.2*0.529*zr^2
+    assert np.allclose(z2r[1: nr + 1], 27.2 * 0.529 * f.zr[1: nr + 1] ** 2, rtol=1e-12)
+    # spline continuity: value at p=1 of row m equals knot m+1
+    m = np.arange(1, nr - 1)
+    val_at_1 = ((sp[m, 3] + sp[m, 4]) + sp[m, 5]) + sp[m, 6]
+    assert np.allclose(val_at_1, sp[m + 1, 6], rtol=0, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def eam_4k():
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = 10
+    return Simulation.from_input(inp, dtype=jnp.float64)
+
+
+def test_eam_step0_exact(eam_4k, golden_dir):
+    golden = parse_golden(golden_dir / "4k.eam")
+    _, t, u, p = eam_4k._row0
+    g = golden.rows[0]
+    assert abs(t - g[1]) < 1e-4          # T = 600 exactly requested
+    assert abs(u - g[2]) / abs(g[2]) < 1e-6
+    assert abs(p - g[3]) / abs(g[3]) < 1e-5
+
+
+def test_eam_trace_statistical(eam_4k, golden_dir):
+    golden = parse_golden(golden_dir / "4k.eam")
+    eam_4k.inp.thermo_nstat = 100
+    trace = eam_4k.run(100)
+    rows = eam_4k.thermo_trace(trace)
+    res = compare_traces(rows, golden.rows, natoms=4000, system="eam", precision=8)
+    assert res.passed, str(res)
+    # f64 100-step values should match the golden log very tightly
+    g100 = {r[0]: r for r in golden.rows}[100]
+    got = rows[-1]
+    assert abs(got[1] - g100[1]) < 0.05, (got, g100)
+    assert abs(got[2] - g100[2]) / abs(g100[2]) < 1e-6
+    assert int(eam_4k.state.overflow) == 0
