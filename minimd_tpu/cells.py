@@ -101,10 +101,46 @@ def choose_grid(prd, cutneigh: float, nbins=None) -> tuple[int, int, int]:
     return tuple(int(max(1, np.floor(p / cutneigh))) for p in prd)
 
 
+def autotune_grid(prd, cutneigh: float, positions: np.ndarray):
+    """Pick the cell grid minimizing the dense-kernel cost model
+    ncells * nstencil * C^2 over a few candidate resolutions.
+
+    Coarser grids can win when they are commensurate with the data's
+    structure (lower padded capacity C); the cost is evaluated with the
+    actual initial occupancy, so the choice is data-driven.
+    """
+    prd = np.asarray(prd, dtype=np.float64)
+    base = np.maximum(1, np.floor(prd / cutneigh).astype(int))
+    best, best_cost = None, np.inf
+    tried = set()
+    for frac in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6):
+        nb = tuple(int(max(1, np.floor(b * frac))) for b in base)
+        if nb in tried:
+            continue
+        tried.add(nb)
+        nbv = np.array(nb)
+        binsize = prd / nbv
+        stencil = build_stencil(binsize, cutneigh)
+        offs = _best_offsets(np.asarray(positions), prd, nbv)
+        ids = _coords_to_cell_np(positions, prd, nbv, binsize, offs)
+        ncells = int(nbv.prod())
+        counts = np.bincount(ids, minlength=ncells)
+        cap = pick_capacity(counts, len(positions) / ncells)
+        cost = ncells * len(stencil) * cap * cap
+        if cost < best_cost:
+            best, best_cost = nb, cost
+    return best
+
+
 def pick_capacity(counts: np.ndarray, mean_density_per_cell: float) -> int:
     """Cell capacity with headroom for density fluctuations over the run."""
     base = max(int(counts.max()), int(np.ceil(mean_density_per_cell)))
-    cap = int(np.ceil(base * 1.30)) + 2
+    # Measured on the equilibrated LJ benchmark: per-rebin maxima exceed the
+    # step-0 max by up to ~9 atoms at mean 32 (number fluctuations at cell
+    # scale are larger than bulk S(0) suggests). +12 / *1.2 gives several
+    # sigma beyond that; every rebin still counts overflows and the run
+    # fails loudly if one ever occurs.
+    cap = max(base + 12, int(np.ceil(base * 1.2)))
     return ((cap + 7) // 8) * 8  # round to sublane multiple
 
 
@@ -142,7 +178,10 @@ def build_geometry(
 ) -> CellGeometry:
     """Construct the static cell geometry for a box and initial positions."""
     prd = np.asarray(prd, dtype=np.float64)
-    nb = choose_grid(prd, cutneigh, nbins)
+    if nbins is None:
+        nb = autotune_grid(prd, cutneigh, positions)
+    else:
+        nb = choose_grid(prd, cutneigh, nbins)
     nbx, nby, nbz = nb
     binsize = prd / np.array(nb, dtype=np.float64)
     stencil = build_stencil(binsize, cutneigh)

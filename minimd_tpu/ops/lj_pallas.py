@@ -1,0 +1,158 @@
+"""Pallas TPU kernel for the LJ cell-grid force.
+
+Layout strategy (the whole point of hand-writing this):
+
+- XLA pre-packs, per cell row (z, y), the candidate block J[z,y] =
+  [row shifted by dx=-1 | dx=0 | dx=+1] of shape (nbx, 3C), lane-padded to
+  a 128 multiple with far-away sentinels. With the benchmark deck's
+  natural C=40 this gives 120/128 = 94% lane occupancy, vs ~31% for the
+  XLA (C_i, C_j) pair layout.
+- Grid = (nbz, nby): each program computes one row of cells, looping over
+  the 9 (dy, dz) stencil rows; i atoms sit on sublanes, candidates on
+  lanes; all operands live in VMEM.
+- The dx=0 block of J[z,y] is the row's own interior cells, so the i-side
+  positions are a lane slice of the same array (no second input).
+
+Kernel math is unchanged from the reference (force_lj.cpp:420-430);
+parameters must be type-uniform (the shipped decks' case — the XLA grid
+path handles per-type tables).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cells import CellGeometry
+from .lj import LJParams
+from .pairgrid import halo_extent, to_padded_soa
+
+_BIG = 5.0e5  # sentinel coordinate for masked lane padding
+
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
+                         dtype=jnp.float32, interpret: bool = False):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial)."""
+    assert params.uniform, "pallas LJ path requires type-uniform parameters"
+    assert dtype == jnp.float32, "pallas LJ kernel is f32"
+    h = halo_extent(geom)
+    assert h == 1, "pallas LJ kernel assumes binsize >= cutneigh (h == 1)"
+
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    M = geom.nslots
+    LANE = _round_up(3 * C, 128)
+    cutsq = float(params.cutforcesq[0])
+    eps = float(params.epsilon[0])
+    sig6 = float(params.sigma6[0])
+
+    def kernel(j0_ref, j1_ref, j2_ref, x0_ref, x1_ref, x2_ref,
+               f0_ref, f1_ref, f2_ref, eng_ref, vir_ref, *, evflag: bool):
+        z = pl.program_id(0)
+        y = pl.program_id(1)
+        # self-pair mask for the (dy,dz)=(0,0) row: lane block 1 (dx=0)
+        # holds the row itself; self pair when lane%C == i sublane index.
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
+        self_mask = (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
+
+        xi0 = x0_ref[z, y]                     # (nbx, C) interior row
+        xi1 = x1_ref[z, y]
+        xi2 = x2_ref[z, y]
+
+        facc0 = jnp.zeros((nbx, C), jnp.float32)
+        facc1 = jnp.zeros((nbx, C), jnp.float32)
+        facc2 = jnp.zeros((nbx, C), jnp.float32)
+        eng = jnp.zeros((), jnp.float32)
+        vir = jnp.zeros((), jnp.float32)
+
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                j0 = j0_ref[z + 1 + dz, y + 1 + dy][:, None, :]  # (nbx,1,LANE)
+                j1 = j1_ref[z + 1 + dz, y + 1 + dy][:, None, :]
+                j2 = j2_ref[z + 1 + dz, y + 1 + dy][:, None, :]
+                d0 = xi0[:, :, None] - j0                        # (nbx,C,LANE)
+                d1 = xi1[:, :, None] - j1
+                d2 = xi2[:, :, None] - j2
+                rsq = d0 * d0 + d1 * d1 + d2 * d2
+                mask = rsq < cutsq
+                if dz == 0 and dy == 0:
+                    mask = mask & ~self_mask[None, :, :]
+                sr2 = jnp.where(mask, 1.0, 0.0) / jnp.where(mask, rsq, 1.0)
+                sr6 = sr2 * sr2 * sr2 * sig6
+                fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
+                facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
+                facc1 = facc1 + jnp.sum(fc * d1, axis=-1)
+                facc2 = facc2 + jnp.sum(fc * d2, axis=-1)
+                if evflag:
+                    eng = eng + jnp.sum(jnp.where(mask, sr6 * (sr6 - 1.0), 0.0))
+                    vir = vir + jnp.sum(rsq * fc)
+
+        f0_ref[0, 0] = facc0
+        f1_ref[0, 0] = facc1
+        f2_ref[0, 0] = facc2
+        if evflag:
+            cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
+                jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+            eng_ref[0, 0] = jnp.where(cell00, eng * (4.0 * eps), 0.0)
+            vir_ref[0, 0] = jnp.where(cell00, vir * 0.5, 0.0)
+        else:
+            eng_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+            vir_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+
+    def pack_candidates(Xp):
+        """(Zp, Yp, Xp_cells, C) padded grid -> (Zp, Yp, nbx, LANE) lane-
+        packed candidate rows [dx=-1 | dx=0 | dx=+1 | sentinel pad]."""
+        packed = []
+        for g in Xp:
+            j = jnp.concatenate(
+                [g[:, :, 0:nbx], g[:, :, 1:nbx + 1], g[:, :, 2:nbx + 2]],
+                axis=-1)
+            if LANE > 3 * C:
+                pad = jnp.full((*j.shape[:-1], LANE - 3 * C), _BIG, j.dtype)
+                j = jnp.concatenate([j, pad], axis=-1)
+            packed.append(j.reshape(nbz + 2, nby + 2, nbx, LANE))
+        return packed
+
+    def build(evflag: bool):
+        kfn = functools.partial(kernel, evflag=evflag)
+        out_shape = (
+            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),) * 3,
+            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+        )
+        fspec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kfn,
+            grid=(nbz, nby),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            out_specs=(fspec, fspec, fspec, sspec, sspec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )
+
+        def force(x, typ):
+            del typ
+            Xp = to_padded_soa(x, geom, h)
+            J = pack_candidates(Xp)
+            Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
+            f0, f1, f2, eng, vir = call(*J, *Xi)
+            f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
+                          axis=-1)
+            return f, jnp.sum(eng), jnp.sum(vir)
+
+        return force
+
+    return build(True), build(False)

@@ -1,0 +1,94 @@
+"""Halo-padded cell-grid machinery shared by the pair-force kernels.
+
+The force kernels operate on a (Z+2h, Y+2h, X+2h, C) per-coordinate SoA grid
+("padded grid"): interior cells hold the atoms, halo cells hold periodic
+images (single device) or remote neighbors' border cells (multi-chip, via
+ppermute — same kernel either way). This is the reference's ghost-atom
+machinery (ref/comm.cpp:700-883) recast as dense slab copies: filling the
+halo IS `borders`/`communicate`, and it happens dim-by-dim so corner images
+are produced exactly like the reference's swap ordering (comm.cpp:739-867).
+
+With the halo in place, every stencil lookup is a *static slice* — no
+gathers, no wraps, no scatter anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..cells import CellGeometry
+
+
+def halo_extent(geom: CellGeometry) -> int:
+    """Stencil reach in cells (1 when binsize >= cutneigh)."""
+    return int(np.abs(geom.stencil).max())
+
+
+def to_padded_soa(x, geom: CellGeometry, h: int, nb_local=None, exchanges=None):
+    """(M, 3) flat cell-major positions -> 3 padded (Z+2h, Y+2h, X+2h, C)
+    coordinate grids with halo images.
+
+    Fills dim-by-dim (x, then y, then z) so edge/corner halos are composed
+    images, mirroring the reference's swap ordering (comm.cpp:739-867).
+
+    Single device: every dim is a periodic self-wrap. Multi-chip (spatial
+    decomposition): pass `nb_local` = the device's local grid shape and
+    `exchanges[spatial_axis] = fn(lo_slab, hi_slab, coord_dim) ->
+    (lo_halo, hi_halo)` for each decomposed axis; the hook trades boundary
+    slabs with mesh neighbors (ppermute) — the reference's
+    borders/communicate (comm.cpp:276-317,700-883) as one dense slab swap.
+    Spatial axes are indexed (0=z, 1=y, 2=x) in grid order.
+    """
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
+    C = geom.capacity
+    prd = geom.prd
+    Xr = x.reshape(nbz, nby, nbx, C, 3)
+    out = []
+    for d in range(3):
+        g = Xr[..., d]
+        out.append(_pad_halo(g, h, float(prd[d]), d, exchanges))
+    return out
+
+
+def _pad_halo(g, h: int, prd_d: float, coord_dim: int, exchanges=None):
+    """Pad a (Z, Y, X, C) scalar grid of coordinate `coord_dim` with a halo
+    of width h; periodic image copies along the grid's own spatial axis are
+    shifted by ±prd. Axis order in g is (z, y, x, C): spatial axis for
+    coordinate d is 2 - d."""
+    own_axis = 2 - coord_dim
+    for axis in (2, 1, 0):  # x first, then y, then z (reference swap order)
+        lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]), axis=axis)
+        hi = jnp.take(g, jnp.arange(0, h), axis=axis)
+        if exchanges is not None and axis in exchanges:
+            # slabs come from mesh neighbors; the hook applies any
+            # boundary-crossing coordinate shift itself
+            lo, hi = exchanges[axis](lo, hi, coord_dim)
+        elif axis == own_axis:
+            # python-float shift: weak type, so the grid dtype is preserved
+            lo = lo - prd_d
+            hi = hi + prd_d
+        g = jnp.concatenate([lo, g, hi], axis=axis)
+    return g
+
+
+def pad_grid_int(t, geom: CellGeometry, h: int):
+    """Pad a (M,) int cell-major array (e.g. types) with periodic halo."""
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    g = t.reshape(nbz, nby, nbx, C)
+    for axis in (2, 1, 0):
+        lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]), axis=axis)
+        hi = jnp.take(g, jnp.arange(0, h), axis=axis)
+        g = jnp.concatenate([lo, g, hi], axis=axis)
+    return g
+
+
+def stencil_slice(Ypad, off, h: int, nb):
+    """Static interior-aligned slice of a padded grid at stencil offset
+    (ox, oy, oz): result[c] = padded[c + off] for every interior cell c."""
+    nbx, nby, nbz = nb
+    ox, oy, oz = int(off[0]), int(off[1]), int(off[2])
+    return Ypad[h + oz: h + oz + nbz,
+                h + oy: h + oy + nby,
+                h + ox: h + ox + nbx]

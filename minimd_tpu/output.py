@@ -1,0 +1,94 @@
+"""Post-run reporting: lost-atom audit, YAML report, run statistics.
+
+Mirrors ref/output.cpp:48-547: atom-count conservation check, the
+miniMD-<timestamp>.yaml report (run config, thermo history, energy
+conservation ratio, time breakdown), and summary statistics.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .config import FORCE_LJ, UNITS_LJ
+from .timer import TIME_COMM, TIME_FORCE, TIME_NEIGH, TIME_TOTAL
+
+
+def lost_atom_check(sim) -> int:
+    """Count atoms still inside the box (output.cpp:60-85); returns the
+    number lost (0 is the only acceptable answer)."""
+    x = np.asarray(sim.state.x)
+    valid = np.asarray(sim.state.valid)
+    return sim.natoms - int(valid.sum())
+
+
+def conservation_ratio(rows) -> float:
+    """(1.5*T + U) drift ratio between first and last thermo rows
+    (output.cpp:172-174)."""
+    first, last = rows[0], rows[-1]
+    e0 = 1.5 * first[1] + first[2]
+    e1 = 1.5 * last[1] + last[2]
+    return e1 / e0 if e0 else float("nan")
+
+
+def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
+                screen=False) -> str:
+    """Write the YAML run report (output.cpp:105-493)."""
+    inp = sim.inp
+    lost = lost_atom_check(sim)
+    t_total = timer.array[TIME_TOTAL]
+    t_force = timer.array[TIME_FORCE]
+    t_neigh = timer.array[TIME_NEIGH]
+    t_comm = timer.array[TIME_COMM]
+    t_other = max(t_total - t_force - t_neigh - t_comm, 0.0)
+
+    lines = []
+    a = lines.append
+    a("run_configuration:")
+    a(f"  variant: miniMD-tpu (JAX/XLA/Pallas)")
+    a(f"  mpi_processes: {nprocs}")
+    a(f"  host_threads: {nthreads}")
+    a(f"  inputfile: {getattr(inp, 'source', 'deck')}")
+    a(f"  datafile: {inp.datafile or 'None'}")
+    a(f"  units: {'LJ' if inp.units == UNITS_LJ else 'METAL'}")
+    a(f"  atoms: {sim.natoms}")
+    a(f"  system_size: [{sim.geom.prd[0]:.2f}, {sim.geom.prd[1]:.2f}, {sim.geom.prd[2]:.2f}]")
+    a(f"  unit_cells: [{inp.nx}, {inp.ny}, {inp.nz}]")
+    a(f"  density: {inp.rho}")
+    a(f"  force_type: {'LJ' if inp.forcetype == FORCE_LJ else 'EAM'}")
+    a(f"  force_params: [{inp.epsilon}, {inp.sigma}]")
+    a(f"  force_cutoff: {inp.force_cut}")
+    a(f"  neighbor_cutoff: {inp.neigh_cut}")
+    a(f"  neighbor_bins: [{sim.geom.nb[0]}, {sim.geom.nb[1]}, {sim.geom.nb[2]}]")
+    a(f"  cell_capacity: {sim.geom.capacity}")
+    a(f"  neighbor_frequency: {inp.neigh_every}")
+    a(f"  timestep_size: {inp.dt}")
+    a(f"  thermo_frequency: {inp.thermo_nstat}")
+    a("")
+    a("thermodynamic_output:")
+    for r in rows:
+        a(f"  - {{step: {int(r[0])}, T: {r[1]:.6e}, U: {r[2]:.6e}, P: {r[3]:.6e}}}")
+    a("")
+    a(f"conservation_ratio: {conservation_ratio(rows):.6f}")
+    a(f"lost_atoms: {lost}")
+    a("")
+    a("time:")
+    a(f"  total: {t_total:.6f}")
+    a(f"  force: {t_force:.6f}")
+    a(f"  neigh: {t_neigh:.6f}")
+    a(f"  comm: {t_comm:.6f}")
+    a(f"  other: {t_other:.6f}")
+    a("")
+    a("performance:")
+    if t_total > 0:
+        a(f"  atom_steps_per_second: {sim.natoms * inp.ntimes / t_total:.1f}")
+    text = "\n".join(lines) + "\n"
+
+    if path is None:
+        path = f"miniMD-{time.strftime('%Y%m%d-%H%M%S')}.yaml"
+    with open(path, "w") as f:
+        f.write(text)
+    if screen:
+        print(text)
+    return path

@@ -1,0 +1,125 @@
+"""Sharded MD step: spatial decomposition over a jax.sharding.Mesh.
+
+The reference's MPI machinery maps onto the mesh like this (SURVEY.md §2.4):
+
+  proc grid (min-surface factorization)  -> Mesh('z','y','x') [mesh.py]
+  borders/communicate (halo exchange)    -> ppermute of boundary cell slabs,
+                                            dim-by-dim, inside the halo fill
+  MPI_Allreduce (thermo)                 -> lax.psum over the mesh axes
+  exchange (atom migration)              -> per-device rebin + ppermute of
+                                            leaver buffers [comm.py]
+
+State on the mesh is grid-shaped (nbz, nby, nbx, C, ...) sharded
+P('z','y','x') — each device owns a contiguous block of cells, exactly the
+reference's slab ownership (comm.cpp:141-146).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cells import CellGeometry
+from ..ops.lj import LJParams
+from ..ops.lj_grid import lj_pair_loop
+from ..ops.pairgrid import halo_extent, to_padded_soa
+from ..units import ThermoScales
+
+_AXIS_OF_SPATIAL = {0: "z", 1: "y", 2: "x"}  # grid axis -> mesh axis name
+
+
+def _make_exchanges(mesh: Mesh, prd, dtype):
+    """Per-spatial-axis halo exchange hooks (only for decomposed axes)."""
+    exchanges = {}
+    for spatial_axis, name in _AXIS_OF_SPATIAL.items():
+        n = mesh.shape[name]
+        if n == 1:
+            continue  # periodic self-wrap handles it
+
+        def exchange(lo, hi, coord_dim, *, name=name, n=n, spatial_axis=spatial_axis):
+            # lo = my top h-slab -> becomes upper neighbor's low halo
+            # hi = my bottom h-slab -> becomes lower neighbor's high halo
+            up = [(i, (i + 1) % n) for i in range(n)]
+            down = [(i, (i - 1) % n) for i in range(n)]
+            halo_lo = jax.lax.ppermute(lo, name, up)
+            halo_hi = jax.lax.ppermute(hi, name, down)
+            # coordinate shift when the halo crossed the global boundary
+            own_coord = 2 - spatial_axis
+            if coord_dim == own_coord:
+                idx = jax.lax.axis_index(name)
+                p = jnp.asarray(float(prd[coord_dim]), dtype)
+                halo_lo = jnp.where(idx == 0, halo_lo - p, halo_lo)
+                halo_hi = jnp.where(idx == n - 1, halo_hi + p, halo_hi)
+            return halo_lo, halo_hi
+
+        exchanges[spatial_axis] = exchange
+    return exchanges
+
+
+def local_grid_shape(geom: CellGeometry, mesh: Mesh):
+    nbx, nby, nbz = geom.nb
+    px, py, pz = mesh.shape["x"], mesh.shape["y"], mesh.shape["z"]
+    assert nbx % px == 0 and nby % py == 0 and nbz % pz == 0, (
+        f"cell grid {geom.nb} not divisible by mesh {(px, py, pz)}")
+    return (nbx // px, nby // py, nbz // pz)
+
+
+def make_sharded_lj_step(
+    geom: CellGeometry,
+    params: LJParams,
+    mesh: Mesh,
+    scales: ThermoScales,
+    *,
+    mass: float,
+    dt: float,
+    dtforce: float,
+    natoms: int,
+    dtype=jnp.float32,
+):
+    """Jitted full MD step over the mesh: initial integrate, halo exchange,
+    LJ force, final integrate, psum'd thermo. Types are assumed uniform
+    (the shipped decks' case) for the sharded fast path.
+
+    Returns (step_fn, sharding) where step_fn maps grid-shaped
+    (x, v, f) -> (x, v, f, (t, u, p)); arrays are (nbz, nby, nbx, C, 3)
+    sharded P('z','y','x').
+    """
+    nb_local = local_grid_shape(geom, mesh)
+    lx, ly, lz = nb_local
+    C = geom.capacity
+    h = halo_extent(geom)
+    dt_c = jnp.asarray(dt, dtype)
+    dtf_c = jnp.asarray(dtforce, dtype)
+    exchanges = _make_exchanges(mesh, geom.prd, dtype)
+
+    spec = P("z", "y", "x", None, None)
+    sharding = NamedSharding(mesh, spec)
+
+    def local_force(x_local, evflag=True):
+        flat = x_local.reshape(-1, 3)
+        Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
+                           exchanges=exchanges)
+        f, eng, vir = lj_pair_loop(Xp, None, (lx, ly, lz), geom, params,
+                                   dtype, evflag)
+        fg = jnp.stack(f, axis=-1)  # (lz, ly, lx, C, 3)
+        return fg, eng, vir
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+             out_specs=(spec, spec, spec, P()))
+    def step(x, v, f):
+        v = v + dtf_c * f
+        x = x + dt_c * v
+        f, eng, vir = local_force(x)
+        v = v + dtf_c * f
+        eng = jax.lax.psum(eng, ("z", "y", "x"))
+        vir = jax.lax.psum(vir, ("z", "y", "x"))
+        t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
+        u = eng * scales.e_scale / natoms
+        p = (t * scales.dof_boltz + vir) * scales.p_scale
+        return x, v, f, jnp.stack([t, u, p])
+
+    return jax.jit(step), sharding

@@ -29,7 +29,8 @@ class Simulation:
     geom: cells.CellGeometry
     state: MDState
     scales: ThermoScales
-    force_fn: object          # (x, typ) -> (f, eng_vdwl, virial)
+    force_fn: object          # (x, typ) -> (f, eng_vdwl, virial)  [evflag on]
+    force_fn_noev: object     # same, but skips energy/virial accumulation
     natoms: int
     mass: float
     dtforce: float            # 0.5*dt / mvv2e / mass (integrate.cpp:43,81; thermo.cpp:69)
@@ -50,6 +51,7 @@ class Simulation:
         capacity: int | None = None,
         cell_chunk: int | None = None,
         potential_path: str | None = None,
+        backend: str = "auto",   # 'auto' | 'pallas' | 'xla'
     ) -> "Simulation":
         if inp.datafile is not None:
             from .lammps_data import read_lammps_data
@@ -63,19 +65,27 @@ class Simulation:
             typ_np = create.assign_types(natoms, ntypes)
             mass = 1.0
 
-        # force style
+        # force style: each factory returns (force_ev, force_noev) closures
         if inp.forcetype == FORCE_LJ:
             params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma, inp.force_cut)
             cutforce = inp.force_cut
-            make_force = lambda geom: make_lj_force(geom, params, dtype=dtype,
-                                                    cell_chunk=cell_chunk)
+
+            def make_force(geom):
+                if Simulation._use_pallas(geom, params, dtype, backend):
+                    from .ops.lj_pallas import make_lj_force_pallas
+                    return make_lj_force_pallas(geom, params, dtype=dtype)
+                from .ops.lj_grid import make_lj_force_grid
+                return make_lj_force_grid(geom, params, dtype=dtype)
         elif inp.forcetype == FORCE_EAM:
             from .ops.eam import EAMTables, make_eam_force
             tables = EAMTables.from_funcfl(potential_path)
             mass = tables.mass
             cutforce = tables.cut
-            make_force = lambda geom: make_eam_force(geom, tables, ntypes, dtype=dtype,
-                                                     cell_chunk=cell_chunk)
+
+            def make_force(geom):
+                f = make_eam_force(geom, tables, ntypes, dtype=dtype,
+                                   cell_chunk=cell_chunk)
+                return f, f
         else:
             raise ValueError(f"unknown forcetype {inp.forcetype}")
 
@@ -97,13 +107,33 @@ class Simulation:
             dtforce /= scales.mvv2e
         dtforce /= mass
 
+        force_ev, force_noev = make_force(geom)
         sim = Simulation(
             inp=inp, geom=geom, state=state, scales=scales,
-            force_fn=make_force(geom), natoms=natoms, mass=mass,
-            dtforce=dtforce, dtype=dtype,
+            force_fn=force_ev, force_fn_noev=force_noev, natoms=natoms,
+            mass=mass, dtforce=dtforce, dtype=dtype,
         )
         sim._compute_initial_force()
         return sim
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _use_pallas(geom, params, dtype, backend: str) -> bool:
+        """The hand-written kernel needs TPU + f32 + uniform type tables +
+        single-cell stencil reach; otherwise the XLA grid path serves."""
+        if backend == "xla":
+            return False
+        import numpy as _np
+        eligible = (
+            dtype == jnp.float32
+            and params.uniform
+            and int(_np.abs(geom.stencil).max()) == 1
+            and jax.default_backend() not in ("cpu",)
+        )
+        if backend == "pallas" and not eligible:
+            raise ValueError("pallas backend requires TPU + f32 + uniform "
+                             "LJ parameters + binsize >= cutneigh")
+        return eligible
 
     # ------------------------------------------------------------------
     def _compute_initial_force(self):
@@ -124,10 +154,11 @@ class Simulation:
     def _make_step_fns(self):
         dt = jnp.asarray(self.inp.dt, self.dtype)
         dtf = jnp.asarray(self.dtforce, self.dtype)
-        force_fn = self.force_fn
+        force_ev, force_noev = self.force_fn, self.force_fn_noev
         geom = self.geom
         mass, scales, natoms = self.mass, self.scales, self.natoms
         every = self.inp.neigh_every
+        nstat = self.inp.thermo_nstat
 
         def half_kick_drift(s: MDState) -> MDState:
             v = s.v + dtf * s.f
@@ -140,11 +171,21 @@ class Simulation:
                            overflow=s.overflow + ovf)
 
         def step(s: MDState, n):
-            """One velocity-Verlet step; n is the 0-based step index."""
+            """One velocity-Verlet step; n is the 0-based step index.
+
+            Matches Integrate::run's cadence (integrate.cpp:88-204):
+            initial integrate, reneighbor on the `every` cadence, force with
+            evflag only on thermo steps, final integrate.
+            """
             s = half_kick_drift(s)
             is_reneigh = (n + 1) % every == 0
             s = jax.lax.cond(is_reneigh, reneigh, lambda st: st, s)
-            f, eng, vir = force_fn(s.x, s.typ)
+            if nstat > 0:
+                evflag = (n + 1) % nstat == 0
+                f, eng, vir = jax.lax.cond(evflag, force_ev, force_noev,
+                                           s.x, s.typ)
+            else:
+                f, eng, vir = force_noev(s.x, s.typ)
             v = s.v + dtf * f
             s = s._replace(v=v, f=f)
             t = thermo.temperature(v, mass, scales)
@@ -167,12 +208,92 @@ class Simulation:
 
         self.state, trace = run_fn(self.state)
         trace = np.asarray(jax.device_get(trace))
-        # keep the last step's eng/virial consistent with state
-        self.eng_vdwl = jnp.asarray(trace[-1, 1] * self.natoms / self.scales.e_scale)
-        self.virial = jnp.asarray(
-            trace[-1, 2] / self.scales.p_scale - trace[-1, 0] * self.scales.dof_boltz
-        )
+        if int(self.state.overflow) > 0:
+            raise RuntimeError(
+                f"cell capacity overflow: {int(self.state.overflow)} atom(s) "
+                f"did not fit (capacity {self.geom.capacity}); rebuild with a "
+                "larger `capacity` — physics would be silently wrong otherwise"
+            )
+        # final force with evflag on, like ljs.cpp:477-483, so thermo state
+        # after a run is always consistent regardless of the nstat cadence
+        _, eng, vir = jax.jit(self.force_fn)(self.state.x, self.state.typ)
+        self.eng_vdwl, self.virial = eng, vir
         return trace
+
+    def run_timed(self, timer, ntimes: int | None = None):
+        """Interval-chunked run with phase timing (reference Timer parity:
+        integrate.cpp:101-192 stamps). Slightly slower than run() due to
+        per-interval dispatch; physics identical."""
+        from .timer import TIME_FORCE, TIME_NEIGH
+
+        ntimes = self.inp.ntimes if ntimes is None else ntimes
+        every = self.inp.neigh_every
+        step = self._make_step_fns()
+        geom = self.geom
+
+        @partial(jax.jit, static_argnums=2)
+        def scan_steps(s, n0, length):
+            return jax.lax.scan(step, s, n0 + jnp.arange(length))
+
+        dt = jnp.asarray(self.inp.dt, self.dtype)
+        dtf = jnp.asarray(self.dtforce, self.dtype)
+
+        @jax.jit
+        def drift(s: MDState):
+            v = s.v + dtf * s.f
+            x = s.x + dt * v
+            return s._replace(x=x, v=v)
+
+        @jax.jit
+        def rebin_jit(s: MDState):
+            x, v, typ, valid, ovf = cells.rebin(s.x, s.v, s.typ, s.valid, geom)
+            return MDState(x=x, v=v, f=s.f, typ=typ, valid=valid,
+                           overflow=s.overflow + ovf)
+
+        @jax.jit
+        def force_kick(s: MDState):
+            f, eng, vir = self.force_fn(s.x, s.typ)
+            v = s.v + dtf * f
+            s = s._replace(v=v, f=f)
+            t = thermo.temperature(v, self.mass, self.scales)
+            u = thermo.energy(eng, self.natoms, self.scales)
+            p = thermo.pressure(t, vir, self.scales)
+            return s, jnp.stack([t, u, p])
+
+        def sync(s):
+            jax.block_until_ready(s.x)
+
+        rows = []
+        s = self.state
+        n = 0
+        timer.stamp()
+        while n < ntimes:
+            upto = min(((n // every) + 1) * every, ntimes)
+            plain = upto - n - (1 if upto % every == 0 else 0)
+            if plain > 0:
+                s, tr = scan_steps(s, jnp.asarray(n), plain)
+                tr_np = np.asarray(jax.device_get(tr))
+                rows.extend((n + i + 1, *tr_np[i]) for i in range(plain))
+                n += plain
+                timer.stamp(TIME_FORCE)
+            if n < upto:  # the reneighboring step
+                s = drift(s)
+                sync(s)
+                timer.stamp(TIME_FORCE)
+                s = rebin_jit(s)
+                sync(s)
+                timer.stamp(TIME_NEIGH)
+                s, row = force_kick(s)
+                row = np.asarray(jax.device_get(row))
+                rows.append((n + 1, *row))
+                n += 1
+                timer.stamp(TIME_FORCE)
+        self.state = s
+        if int(self.state.overflow) > 0:
+            raise RuntimeError("cell capacity overflow during timed run")
+        _, eng, vir = jax.jit(self.force_fn)(s.x, s.typ)
+        self.eng_vdwl, self.virial = eng, vir
+        return np.asarray([[r[1], r[2], r[3]] for r in rows])
 
     def thermo_trace(self, trace: np.ndarray) -> list[tuple[int, float, float, float]]:
         """Subsample the per-step trace at thermo_nstat cadence, including

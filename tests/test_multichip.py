@@ -1,0 +1,96 @@
+"""Multi-device spatial decomposition correctness (virtual 8-device CPU
+mesh — the reference's mpirun-on-one-node test mode, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minimd_tpu import cells, create
+from minimd_tpu.config import builtin_deck
+from minimd_tpu.ops.lj import LJParams
+from minimd_tpu.ops.lj_grid import make_lj_force_grid
+from minimd_tpu.parallel.mesh import make_mesh, min_surface_grid
+from minimd_tpu.parallel.step import make_sharded_lj_step
+from minimd_tpu.state import init_state
+from minimd_tpu.units import thermo_scales
+
+
+def test_min_surface_grid():
+    # cubic box: 8 procs -> 2x2x2 (comm.cpp:86-126 semantics)
+    assert sorted(min_surface_grid(8, (10.0, 10.0, 10.0))) == [2, 2, 2]
+    assert sorted(min_surface_grid(4, (10.0, 10.0, 10.0))) == [1, 2, 2]
+    # elongated box in z: all procs go to z
+    px, py, pz = min_surface_grid(4, (10.0, 10.0, 80.0))
+    assert pz == 4 and px == py == 1
+
+
+@pytest.fixture(scope="module")
+def shared_system():
+    inp = builtin_deck("lj")
+    nx = 16
+    inp.nx = inp.ny = inp.nz = nx
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    sc = thermo_scales(inp.units, len(x), box.volume)
+    v = create.create_velocity(v, inp.t_request, len(x), 1.0, sc.t_scale)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(8, 8, 8))
+    typ = np.zeros(len(x), np.int32)
+    st = init_state(x, v, typ, geom, dtype=jnp.float64)
+    return inp, box, geom, st, sc
+
+
+def test_sharded_step_matches_single_device(shared_system):
+    """One full MD step on an 8-device mesh must reproduce the single-device
+    step bit-for-bit (same adds, same order, modulo psum reduction order)."""
+    inp, box, geom, st, sc = shared_system
+    natoms = int(st.valid.sum())
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+
+    # single-device step (manual): kick-drift, force, kick
+    force_ev, _ = make_lj_force_grid(geom, params, dtype=jnp.float64)
+    dtf = 0.5 * inp.dt
+    f0, e0, w0 = jax.jit(force_ev)(st.x, st.typ)
+    v1 = st.v + dtf * f0
+    x1 = st.x + inp.dt * v1
+    f1, e1, w1 = jax.jit(force_ev)(x1, st.typ)
+    v2 = v1 + dtf * f1
+
+    # sharded step from the same initial state
+    devices = jax.devices()[:8]
+    grid = min_surface_grid(8, box.prd)
+    mesh = make_mesh(devices, box.prd, grid)
+    step, sharding = make_sharded_lj_step(
+        geom, params, mesh, sc, mass=1.0, dt=inp.dt, dtforce=dtf,
+        natoms=natoms, dtype=jnp.float64)
+    nbx, nby, nbz = geom.nb
+    shape = (nbz, nby, nbx, geom.capacity, 3)
+    xg = jax.device_put(jnp.asarray(st.x).reshape(shape), sharding)
+    vg = jax.device_put(jnp.asarray(st.v).reshape(shape), sharding)
+    fg = jax.device_put(jnp.asarray(f0).reshape(shape), sharding)
+    xg, vg, fg, tup = step(xg, vg, fg)
+
+    np.testing.assert_allclose(np.asarray(xg).reshape(-1, 3), np.asarray(x1),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(fg).reshape(-1, 3), np.asarray(f1),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(vg).reshape(-1, 3), np.asarray(v2),
+                               rtol=1e-12, atol=1e-13)
+    # thermo: sharded psum vs single-device reductions
+    t_single = float(jnp.sum(v2 * v2) * sc.t_scale)
+    u_single = float(e1) * sc.e_scale / natoms
+    assert abs(float(tup[0]) - t_single) < 1e-9
+    assert abs(float(tup[1]) - u_single) < 1e-9
+
+
+def test_dryrun_entrypoints():
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "_graft", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+    mod.dryrun_multichip(8)
