@@ -96,6 +96,11 @@ def create_atoms(
         bounds = (0.0, box.xprd, 0.0, box.yprd, 0.0, box.zprd)
     xlo, xhi, ylo, yhi, zlo, zhi = bounds
 
+    from . import native
+    nat = native.create_atoms(nx, ny, nz, rho, bounds)
+    if nat is not None:
+        return nat
+
     alat = (4.0 / rho) ** (1.0 / 3.0)
     half = 0.5 * alat
 
@@ -136,6 +141,10 @@ def create_atoms(
 
 def assign_types(nlocal: int, ntypes: int, seed: int = 5413) -> np.ndarray:
     """glibc rand()%ntypes per atom, in insertion order (atom.cpp:97)."""
+    from . import native
+    nat = native.rand_types(seed, nlocal, ntypes)
+    if nat is not None:
+        return nat
     return GlibcRand(seed).rand_array(nlocal, ntypes)
 
 

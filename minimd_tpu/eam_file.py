@@ -121,3 +121,51 @@ def array2spline(n: int, delta: float, f: np.ndarray) -> np.ndarray:
 
 def default_potential_path() -> pathlib.Path:
     return pathlib.Path(__file__).resolve().parent.parent / "potentials" / "Cu_u6.eam"
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev compression of the pair-hot spline tables (TPU fast path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ChebTable:
+    """Global Chebyshev fit of one spline function on [lo, hi].
+
+    Evaluated with Clenshaw recurrence using lane-uniform scalar
+    coefficients: zero gathers on the TPU VPU. `deriv` holds the exact
+    analytic derivative of the fitted polynomial, so energy and force stay
+    consistent to machine precision.
+    """
+
+    lo: float
+    hi: float
+    coeffs: tuple        # value coefficients c0..cn
+    deriv: tuple         # derivative coefficients
+    max_rel_err: float   # fit error vs the exact spline, relative to max|f|
+
+
+def _spline_value(sp, n, delta, x):
+    p = x / delta + 1.0
+    m = np.clip(p.astype(np.int64), 1, n - 1)
+    p = np.minimum(p - m, 1.0)
+    return ((sp[m, 3] * p + sp[m, 4]) * p + sp[m, 5]) * p + sp[m, 6]
+
+
+def _spline_deriv(sp, n, delta, x):
+    p = x / delta + 1.0
+    m = np.clip(p.astype(np.int64), 1, n - 1)
+    p = np.minimum(p - m, 1.0)
+    return (sp[m, 0] * p + sp[m, 1]) * p + sp[m, 2]
+
+
+def fit_cheb(sp, n, delta, lo, hi, degree=28) -> ChebTable:
+    xs = np.linspace(lo, hi, 200001)
+    ys = _spline_value(sp, n, delta, xs)
+    fit = np.polynomial.chebyshev.Chebyshev.fit(xs, ys, degree, domain=[lo, hi])
+    err = float(np.abs(fit(xs) - ys).max() / max(np.abs(ys).max(), 1e-300))
+    return ChebTable(
+        lo=float(lo), hi=float(hi),
+        coeffs=tuple(float(c) for c in fit.coef),
+        deriv=tuple(float(c) for c in fit.deriv().coef),
+        max_rel_err=err,
+    )

@@ -20,8 +20,14 @@ def read_lammps_data(path: str | pathlib.Path):
     """Returns (box, x, v, mass). Atom ids in the file are 1-based and may
     be unordered; rows are scattered by id like the reference
     (setup.cpp:169-189)."""
+    from . import native
+    if native.available():
+        nbox, x, v, mass = native.read_lammps_data(path)
+        box = Box(nbox[0], nbox[1], nbox[2])
+        box.xhi, box.yhi, box.zhi = box.xprd, box.yprd, box.zprd
+        return box, x, v, mass
+
     lines = pathlib.Path(path).read_text().splitlines()
-    it = iter(range(len(lines)))
 
     natoms = 0
     ntypes = 1
@@ -111,7 +117,7 @@ def write_lammps_data(path, box: Box, x: np.ndarray, v: np.ndarray,
         f.write(f"1 {mass:.6g}\n\n")
         f.write("Atoms\n\n")
         for i in range(n):
-            f.write(f"{i+1} 1 {x[i,0]:.15g} {x[i,1]:.15g} {x[i,2]:.15g}\n")
+            f.write(f"{i+1} 1 {x[i,0]:.17g} {x[i,1]:.17g} {x[i,2]:.17g}\n")
         f.write("\nVelocities\n\n")
         for i in range(n):
-            f.write(f"{i+1} {v[i,0]:.15g} {v[i,1]:.15g} {v[i,2]:.15g}\n")
+            f.write(f"{i+1} {v[i,0]:.17g} {v[i,1]:.17g} {v[i,2]:.17g}\n")

@@ -7,11 +7,13 @@ Layout strategy (the whole point of hand-writing this):
   a 128 multiple with far-away sentinels. With the benchmark deck's
   natural C=40 this gives 120/128 = 94% lane occupancy, vs ~31% for the
   XLA (C_i, C_j) pair layout.
-- Grid = (nbz, nby): each program computes one row of cells, looping over
-  the 9 (dy, dz) stencil rows; i atoms sit on sublanes, candidates on
-  lanes; all operands live in VMEM.
-- The dx=0 block of J[z,y] is the row's own interior cells, so the i-side
-  positions are a lane slice of the same array (no second input).
+- Grid = (nbz, nby). Each program sees just the three z-slabs it needs
+  (the same padded array bound through three BlockSpecs at dz=-1/0/+1), so
+  VMEM holds a few slabs, not the whole box — Pallas double-buffers the
+  slab DMAs across grid steps and the kernel scales to arbitrary system
+  sizes.
+- The pair tensor per (dy, dz) stencil row is (nbx, C_i, LANE): i atoms on
+  sublanes, candidates on lanes, fully fused in VMEM.
 
 Kernel math is unchanged from the reference (force_lj.cpp:420-430);
 parameters must be type-uniform (the shipped decks' case — the XLA grid
@@ -50,14 +52,20 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
     nbx, nby, nbz = geom.nb
     C = geom.capacity
     M = geom.nslots
+    Yp = nby + 2
     LANE = _round_up(3 * C, 128)
     cutsq = float(params.cutforcesq[0])
     eps = float(params.epsilon[0])
     sig6 = float(params.sigma6[0])
 
-    def kernel(j0_ref, j1_ref, j2_ref, x0_ref, x1_ref, x2_ref,
-               f0_ref, f1_ref, f2_ref, eng_ref, vir_ref, *, evflag: bool):
-        z = pl.program_id(0)
+    def kernel(*refs, evflag: bool):
+        # refs: 9 J slabs (coord-major, then dz -1/0/+1), 3 Xi rows,
+        # then outputs f0 f1 f2, eng, vir
+        j_refs = refs[0:9]    # j_refs[c*3 + (dz+1)] -> (1, Yp, nbx, LANE)
+        xi_refs = refs[9:12]  # (1, 1, nbx, C)
+        f_refs = refs[12:15]
+        eng_ref, vir_ref = refs[15], refs[16]
+
         y = pl.program_id(1)
         # self-pair mask for the (dy,dz)=(0,0) row: lane block 1 (dx=0)
         # holds the row itself; self pair when lane%C == i sublane index.
@@ -65,9 +73,9 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
         self_mask = (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
 
-        xi0 = x0_ref[z, y]                     # (nbx, C) interior row
-        xi1 = x1_ref[z, y]
-        xi2 = x2_ref[z, y]
+        xi0 = xi_refs[0][0, 0]    # (nbx, C)
+        xi1 = xi_refs[1][0, 0]
+        xi2 = xi_refs[2][0, 0]
 
         facc0 = jnp.zeros((nbx, C), jnp.float32)
         facc1 = jnp.zeros((nbx, C), jnp.float32)
@@ -77,9 +85,10 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
 
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                j0 = j0_ref[z + 1 + dz, y + 1 + dy][:, None, :]  # (nbx,1,LANE)
-                j1 = j1_ref[z + 1 + dz, y + 1 + dy][:, None, :]
-                j2 = j2_ref[z + 1 + dz, y + 1 + dy][:, None, :]
+                yy = y + 1 + dy
+                j0 = j_refs[0 * 3 + dz + 1][0, yy][:, None, :]  # (nbx,1,LANE)
+                j1 = j_refs[1 * 3 + dz + 1][0, yy][:, None, :]
+                j2 = j_refs[2 * 3 + dz + 1][0, yy][:, None, :]
                 d0 = xi0[:, :, None] - j0                        # (nbx,C,LANE)
                 d1 = xi1[:, :, None] - j1
                 d2 = xi2[:, :, None] - j2
@@ -97,9 +106,9 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
                     eng = eng + jnp.sum(jnp.where(mask, sr6 * (sr6 - 1.0), 0.0))
                     vir = vir + jnp.sum(rsq * fc)
 
-        f0_ref[0, 0] = facc0
-        f1_ref[0, 0] = facc1
-        f2_ref[0, 0] = facc2
+        f_refs[0][0, 0] = facc0
+        f_refs[1][0, 0] = facc1
+        f_refs[2][0, 0] = facc2
         if evflag:
             cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
                 jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
@@ -120,7 +129,7 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             if LANE > 3 * C:
                 pad = jnp.full((*j.shape[:-1], LANE - 3 * C), _BIG, j.dtype)
                 j = jnp.concatenate([j, pad], axis=-1)
-            packed.append(j.reshape(nbz + 2, nby + 2, nbx, LANE))
+            packed.append(j.reshape(nbz + 2, Yp, nbx, LANE))
         return packed
 
     def build(evflag: bool):
@@ -130,6 +139,15 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
         )
+        # three views of each J array, one per dz offset
+        j_specs = [
+            pl.BlockSpec((1, Yp, nbx, LANE),
+                         functools.partial(lambda dz, z, y: (z + dz, 0, 0, 0), dz),
+                         memory_space=pltpu.VMEM)
+            for _coord in range(3) for dz in (0, 1, 2)
+        ]
+        xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+                               memory_space=pltpu.VMEM)
         fspec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
                              memory_space=pltpu.VMEM)
         sspec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
@@ -137,7 +155,7 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
         call = pl.pallas_call(
             kfn,
             grid=(nbz, nby),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+            in_specs=j_specs + [xi_spec] * 3,
             out_specs=(fspec, fspec, fspec, sspec, sspec),
             out_shape=out_shape,
             interpret=interpret,
@@ -148,7 +166,8 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             Xp = to_padded_soa(x, geom, h)
             J = pack_candidates(Xp)
             Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
-            f0, f1, f2, eng, vir = call(*J, *Xi)
+            args = [J[c] for c in range(3) for _dz in range(3)] + Xi
+            f0, f1, f2, eng, vir = call(*args)
             f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
                           axis=-1)
             return f, jnp.sum(eng), jnp.sum(vir)

@@ -83,6 +83,17 @@ class Simulation:
             cutforce = tables.cut
 
             def make_force(geom):
+                # TPU fast path: dense grid + Chebyshev pair tables (see
+                # ops/eam_grid.py). Exact spline gathers stay the default
+                # for f64/CPU validation runs.
+                use_grid = backend in ("pallas", "grid") or (
+                    backend == "auto"
+                    and dtype == jnp.float32
+                    and jax.default_backend() != "cpu"
+                )
+                if use_grid:
+                    from .ops.eam_grid import make_eam_force_grid
+                    return make_eam_force_grid(geom, tables, ntypes, dtype=dtype)
                 f = make_eam_force(geom, tables, ntypes, dtype=dtype,
                                    cell_chunk=cell_chunk)
                 return f, f
@@ -304,5 +315,8 @@ class Simulation:
             if nstat and (n + 1) % nstat == 0:
                 rows.append((n + 1, *map(float, trace[n])))
         if nstat and len(trace) % nstat != 0:
-            rows.append((len(trace), *map(float, trace[-1])))
+            # trailing partial interval: the in-scan row carries no energy
+            # (no-ev step); recompute from the post-run evflag force, like
+            # the reference's final compute (ljs.cpp:477-483)
+            rows.append(self.thermo_row(len(trace)))
         return rows

@@ -71,3 +71,39 @@ def test_eam_trace_statistical(eam_4k, golden_dir):
     assert abs(got[1] - g100[1]) < 0.05, (got, g100)
     assert abs(got[2] - g100[2]) / abs(g100[2]) < 1e-6
     assert int(eam_4k.state.overflow) == 0
+
+
+def test_eam_grid_cheb_matches_exact():
+    """The TPU fast path (dense grid + Chebyshev pair tables) vs the exact
+    gather path: energies to ~1e-7 rel; forces within the documented
+    approximation bound (the embedding derivative amplifies the spline-
+    derivative smoothing by |fp| ~ 100 — see ops/eam_grid.py docstring)."""
+    import jax
+
+    from minimd_tpu import cells, create
+    from minimd_tpu.ops.eam import EAMTables, make_eam_force
+    from minimd_tpu.ops.eam_grid import make_eam_force_grid
+    from minimd_tpu.state import init_state
+
+    inp = builtin_deck("eam")
+    box = create.create_box(6, 6, 6, inp.rho)
+    x, v = create.create_atoms(6, 6, 6, inp.rho, box)
+    rng = np.random.default_rng(0)
+    x = x + rng.normal(0, 0.08, x.shape)  # thermal-ish displacements
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x)
+    st = init_state(x, v, np.zeros(len(x), np.int32), geom, dtype=jnp.float64)
+
+    tables = EAMTables.from_funcfl()
+    fe, ee, ve = jax.jit(make_eam_force(geom, tables, 1, dtype=jnp.float64))(
+        st.x, st.typ)
+    fev, fnoev = make_eam_force_grid(geom, tables, 1, dtype=jnp.float64)
+    fg, eg, vg = jax.jit(fev)(st.x, st.typ)
+
+    fscale = float(jnp.abs(fe).max())
+    assert float(jnp.abs(fg - fe).max()) / fscale < 5e-3
+    assert abs(float(eg - ee) / float(ee)) < 1e-6
+    assert abs(float(vg - ve) / float(ve)) < 1e-4
+    # no-ev variant: same forces, zero energy accumulators
+    fg2, eg2, _ = jax.jit(fnoev)(st.x, st.typ)
+    np.testing.assert_allclose(np.asarray(fg2), np.asarray(fg))
+    assert float(eg2) == 0.0
