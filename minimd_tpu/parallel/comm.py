@@ -1,0 +1,176 @@
+"""Multi-chip atom migration and sharded rebinning.
+
+The reference's `Comm::exchange` (comm.cpp:364-597) walks dimensions in
+order, ships leavers to the +/-1 neighbor, and lets later dimensions carry
+corner movers onward. Here each hop is a ppermute of a fixed-capacity
+leaver buffer; arrivals are appended to a static-shape atom pool, and one
+sort-based local rebin at the end scatters the pool into the device's cell
+block. No dynamic shapes; over-capacity events are counted and the run
+fails loudly (the reference's --safe_exchange concern shows up here as a
+buffer-capacity assertion instead of a multi-hop fallback).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..cells import CellGeometry, sentinel_positions
+
+_AXES = ("z", "y", "x")  # grid-axis order; migration walks x, y, z like the
+# reference (comm.cpp:380: idim 0..2 = x, y, z)
+
+
+def _device_span(geom: CellGeometry, mesh: Mesh):
+    nbx, nby, nbz = geom.nb
+    return {
+        "x": nbx // mesh.shape["x"],
+        "y": nby // mesh.shape["y"],
+        "z": nbz // mesh.shape["z"],
+    }
+
+
+def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
+                        buf_cap: int | None = None):
+    """Returns a function (x, v, typ, valid) -> (x, v, typ, valid, overflow)
+    operating on device-local flat arrays inside shard_map.
+
+    x rows are positions (may be slightly outside the box), valid marks
+    occupied slots. The result is the device's local cell-major block.
+    """
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    prd = np.asarray(geom.prd, dtype=np.float64)
+    offset = np.asarray(geom.offset, dtype=np.float64)
+    binsize = np.asarray(geom.binsize, dtype=np.float64)
+    span = _device_span(geom, mesh)
+    lx, ly, lz = span["x"], span["y"], span["z"]
+    M_local = lx * ly * lz * C
+
+    # leaver-buffer capacity: a full boundary cell layer is a hard upper
+    # bound on who can leave through one face in one reneigh interval
+    caps = {
+        "x": ly * lz * C,
+        "y": lx * lz * C,
+        "z": lx * ly * C,
+    }
+    if buf_cap is not None:
+        caps = {k: min(v, buf_cap) for k, v in caps.items()}
+
+    nb_all = {"x": nbx, "y": nby, "z": nbz}
+    dim_of = {"x": 0, "y": 1, "z": 2}
+
+    def global_cell_index(xw, d):
+        """Global cell coordinate along dimension d for wrapped positions,
+        honoring the grid offset + unfolding convention (cells.py)."""
+        g = xw[:, d] - offset[d]
+        g = jnp.where(g < 0, g + prd[d], g)
+        return jnp.clip((g * (1.0 / binsize[d])).astype(jnp.int32),
+                        0, nb_all[_AXES[2 - d]] - 1)
+
+    def exchange_rebin(x, v, typ, valid):
+        # wrap into [0, prd)
+        p = jnp.asarray(prd, dtype=x.dtype)
+        xw = jnp.where(x < 0, x + p, x)
+        xw = jnp.where(xw >= p, xw - p, xw)
+
+        pool_x, pool_v, pool_t, pool_ok = xw, v, typ, valid
+        overflow = jnp.zeros((), jnp.int32)
+
+        for name in ("x", "y", "z"):
+            n = mesh.shape[name]
+            if n == 1:
+                continue
+            d = dim_of[name]
+            L = span[name]
+            B = caps[name]
+            idx_dev = jax.lax.axis_index(name)
+            cell_d = global_cell_index(pool_x, d)
+            dev_d = cell_d // L
+            # destination offset: -1, 0, +1 (with periodic wrap)
+            diff = dev_d - idx_dev
+            half = n // 2
+            diff = jnp.where(diff > half, diff - n, diff)
+            diff = jnp.where(diff < -half, diff + n, diff)
+            leave_lo = pool_ok & (diff < 0)
+            leave_hi = pool_ok & (diff > 0)
+            # anything that wants to move more than one device is an
+            # overflow (reference: requires --safe_exchange; we fail loudly)
+            overflow = overflow + jnp.sum(jnp.abs(diff) > 1, where=pool_ok,
+                                          initial=0).astype(jnp.int32)
+
+            def pack(leaving):
+                order = jnp.argsort(~leaving)  # leavers first, stable
+                count = jnp.sum(leaving)
+                sl = (slice(0, B),)
+                bx = pool_x[order][sl]
+                bv = pool_v[order][sl]
+                bt = pool_t[order][sl]
+                bok = (jnp.arange(B) < count) & (count <= B)
+                ovf = jnp.maximum(count - B, 0).astype(jnp.int32)
+                return bx, bv, bt, bok, ovf
+
+            blo = pack(leave_lo)
+            bhi = pack(leave_hi)
+            overflow = overflow + blo[4] + bhi[4]
+
+            down = [(i, (i - 1) % n) for i in range(n)]
+            up = [(i, (i + 1) % n) for i in range(n)]
+            # send lo-bound leavers down; they arrive from above
+            rlo = [jax.lax.ppermute(b, name, down) for b in blo[:4]]
+            rhi = [jax.lax.ppermute(b, name, up) for b in bhi[:4]]
+
+            # my pool keeps non-leavers; arrivals appended
+            stay = pool_ok & ~leave_lo & ~leave_hi
+            pool_x = jnp.concatenate([pool_x, rlo[0], rhi[0]])
+            pool_v = jnp.concatenate([pool_v, rlo[1], rhi[1]])
+            pool_t = jnp.concatenate([pool_t, rlo[2], rhi[2]])
+            pool_ok = jnp.concatenate([stay, rlo[3], rhi[3]])
+
+        # local rebin: global cell -> local cell id within my block
+        cg = [global_cell_index(pool_x, d) for d in range(3)]
+        devs = {name: jax.lax.axis_index(name) for name in _AXES if mesh.shape[name] > 1}
+        loc = []
+        for name, d, L in (("x", 0, lx), ("y", 1, ly), ("z", 2, lz)):
+            c = cg[d]
+            if name in devs:
+                c = c - devs[name] * L
+            loc.append(c)
+        inside = (
+            (loc[0] >= 0) & (loc[0] < lx)
+            & (loc[1] >= 0) & (loc[1] < ly)
+            & (loc[2] >= 0) & (loc[2] < lz)
+        )
+        overflow = overflow + jnp.sum(pool_ok & ~inside).astype(jnp.int32)
+        cid = (loc[2] * ly + loc[1]) * lx + loc[0]
+        ncl = lx * ly * lz
+        cid = jnp.where(pool_ok & inside, cid, ncl)
+
+        order = jnp.argsort(cid, stable=True)
+        sort_cid = cid[order]
+        starts = jnp.searchsorted(sort_cid, jnp.arange(ncl + 1, dtype=jnp.int32))
+        rank = jnp.arange(len(cid), dtype=jnp.int32) - starts[jnp.clip(sort_cid, 0, ncl)]
+        ok = (sort_cid < ncl) & (rank < C)
+        dest = jnp.where(ok, sort_cid * C + rank, M_local)
+        overflow = overflow + jnp.sum((sort_cid < ncl) & (rank >= C)).astype(jnp.int32)
+
+        # storage ("unfolded") coordinates relative to the grid offset
+        off = jnp.asarray(offset, dtype=pool_x.dtype)
+        g = pool_x - off
+        xs = jnp.where(g < 0, pool_x + p, pool_x)
+
+        new_x = sentinel_positions(M_local, pool_x.dtype).at[dest].set(
+            xs[order], mode="drop")
+        new_v = jnp.zeros((M_local, 3), pool_v.dtype).at[dest].set(
+            pool_v[order], mode="drop")
+        new_t = jnp.zeros((M_local,), jnp.int32).at[dest].set(
+            pool_t[order], mode="drop")
+        new_ok = jnp.zeros((M_local,), bool).at[dest].set(
+            pool_ok[order], mode="drop")
+        return new_x, new_v, new_t, new_ok, overflow
+
+    return exchange_rebin

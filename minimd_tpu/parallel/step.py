@@ -123,3 +123,96 @@ def make_sharded_lj_step(
         return x, v, f, jnp.stack([t, u, p])
 
     return jax.jit(step), sharding
+
+
+def make_sharded_lj_run(
+    geom: CellGeometry,
+    params: LJParams,
+    mesh: Mesh,
+    scales: ThermoScales,
+    *,
+    mass: float,
+    dt: float,
+    dtforce: float,
+    natoms: int,
+    neigh_every: int,
+    dtype=jnp.float32,
+):
+    """Full sharded run loop: lax.scan over timesteps with in-scan atom
+    migration on the reneighbor cadence (the complete multi-chip analog of
+    Simulation.run). Returns (run_fn, sharding); run_fn maps
+    (x, v, f, typ, valid, ntimes_static) ->
+    (x, v, f, typ, valid, overflow, trace)."""
+    from .comm import make_exchange_rebin
+
+    nb_local = local_grid_shape(geom, mesh)
+    lx, ly, lz = nb_local
+    C = geom.capacity
+    h = halo_extent(geom)
+    dt_c = jnp.asarray(dt, dtype)
+    dtf_c = jnp.asarray(dtforce, dtype)
+    exchanges = _make_exchanges(mesh, geom.prd, dtype)
+    exchange_rebin = make_exchange_rebin(geom, mesh, dtype)
+
+    spec = P("z", "y", "x", None, None)
+    spec1 = P("z", "y", "x", None)
+    sharding = NamedSharding(mesh, spec)
+
+    def local_force(x_local, evflag=True):
+        flat = x_local.reshape(-1, 3)
+        Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
+                           exchanges=exchanges)
+        f, eng, vir = lj_pair_loop(Xp, None, (lx, ly, lz), geom, params,
+                                   dtype, evflag)
+        return jnp.stack(f, axis=-1), eng, vir
+
+    def sharded_scan(x, v, f, typ, valid, ntimes: int):
+        gshape = x.shape
+
+        def reneigh(args):
+            x, v, typ, valid, ovf = args
+            xf, vf, tf, okf, o2 = exchange_rebin(
+                x.reshape(-1, 3), v.reshape(-1, 3),
+                typ.reshape(-1), valid.reshape(-1))
+            return (xf.reshape(gshape), vf.reshape(gshape),
+                    tf.reshape(gshape[:4]), okf.reshape(gshape[:4]),
+                    ovf + o2)
+
+        def body(carry, n):
+            x, v, f, typ, valid, ovf = carry
+            v = v + dtf_c * f
+            x = x + dt_c * v
+            x, v, typ, valid, ovf = jax.lax.cond(
+                (n + 1) % neigh_every == 0, reneigh, lambda a: a,
+                (x, v, typ, valid, ovf))
+            f, eng, vir = local_force(x)
+            v = v + dtf_c * f
+            eng = jax.lax.psum(eng, ("z", "y", "x"))
+            vir = jax.lax.psum(vir, ("z", "y", "x"))
+            t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
+            u = eng * scales.e_scale / natoms
+            p = (t * scales.dof_boltz + vir) * scales.p_scale
+            return (x, v, f, typ, valid, ovf), jnp.stack([t, u, p])
+
+        # overflow starts device-varying (axis_index) so the cond branches
+        # agree on shard_map's varying-axes typing
+        ovf0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
+                + jax.lax.axis_index("x") * 0).astype(jnp.int32)
+        carry0 = (x, v, f, typ, valid, ovf0)
+        (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
+            body, carry0, jnp.arange(ntimes))
+        ovf = jax.lax.psum(ovf, ("z", "y", "x"))
+        return x, v, f, typ, valid, ovf, trace
+
+    _cache = {}
+
+    def run(x, v, f, typ, valid, ntimes: int):
+        if ntimes not in _cache:
+            _cache[ntimes] = jax.jit(jax.shard_map(
+                partial(sharded_scan, ntimes=ntimes), mesh=mesh,
+                in_specs=(spec, spec, spec, spec1, spec1),
+                out_specs=(spec, spec, spec, spec1, spec1, P(), P()),
+            ))
+        return _cache[ntimes](x, v, f, typ, valid)
+
+    return run, sharding

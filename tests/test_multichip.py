@@ -94,3 +94,44 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out[0])))
     mod.dryrun_multichip(8)
+
+
+def test_sharded_full_run_with_migration(shared_system):
+    """60 steps on an 8-device mesh, crossing two reneighbor/migration
+    events: the temperature trace must match the single-device run to
+    machine precision (same pair sums, same adds), atoms conserved."""
+    from minimd_tpu.parallel.step import make_sharded_lj_run
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.config import builtin_deck
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inp, box, geom, st, sc = shared_system
+    natoms = int(st.valid.sum())
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+
+    sim = Simulation.from_input(
+        builtin_deck("lj").__class__(**{**inp.__dict__}), dtype=jnp.float64,
+        nbins=(8, 8, 8), backend="xla")
+    tr1 = sim.run(60)
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
+    run, _ = make_sharded_lj_run(
+        geom, params, mesh, sc, mass=1.0, dt=inp.dt, dtforce=0.5 * inp.dt,
+        natoms=natoms, neigh_every=inp.neigh_every, dtype=jnp.float64)
+
+    nbx, nby, nbz = geom.nb
+    gs = (nbz, nby, nbx, geom.capacity, 3)
+    f0 = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(
+        st.x, st.typ)[0]
+    shard = NamedSharding(mesh, P("z", "y", "x"))
+    shard1 = NamedSharding(mesh, P("z", "y", "x", None))
+    args = [jax.device_put(np.asarray(a).reshape(gs), shard)
+            for a in (st.x, st.v, f0)]
+    targ = jax.device_put(np.asarray(st.typ).reshape(gs[:4]), shard1)
+    varg = jax.device_put(np.asarray(st.valid).reshape(gs[:4]), shard1)
+
+    xg, vg, fg, tg, okg, ovf, tr8 = run(*args, targ, varg, 60)
+    assert int(ovf) == 0
+    assert int(np.asarray(okg).sum()) == natoms
+    np.testing.assert_allclose(np.asarray(tr8)[:, 0], tr1[:, 0],
+                               rtol=1e-13, atol=0)
