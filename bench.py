@@ -29,14 +29,15 @@ BASELINE_MATOM_STEPS = 23.67  # README.md:286-288 (864k atoms, 2 MPI x 16 OMP)
 
 
 def main():
-    steps_warm = 100
     steps_a, steps_b = 100, 300
 
     inp = builtin_deck("lj")
     sim = Simulation.from_input(inp, dtype=jnp.float32)
     natoms = sim.natoms
 
-    sim.run(steps_warm)  # compile + warm
+    # compile + warm BOTH scan lengths (each ntimes compiles its own scan)
+    sim.run(steps_a)
+    sim.run(steps_b)
 
     t0 = time.time()
     sim.run(steps_a)

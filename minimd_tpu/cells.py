@@ -268,6 +268,34 @@ def coord_to_cell(xw: jax.Array, geom: CellGeometry) -> tuple[jax.Array, jax.Arr
     return (idx[:, 2] * nb[1] + idx[:, 1]) * nb[0] + idx[:, 0], xs
 
 
+def rebin_lean(x, v, typ, geom: CellGeometry):
+    """Sentinel-derived rebin for the hot loop: validity is recovered from
+    the sentinel coordinates instead of being carried (empty slots always
+    hold sentinels by construction). Returns (x, v, typ, overflow)."""
+    M = geom.nslots
+    ncells = geom.ncells
+    C = geom.capacity
+    dtype = x.dtype
+
+    valid = x[:, 0] < 0.5 * _SENTINEL_BASE
+    xw = pbc_wrap(x, geom.prd)
+    cid, xs = coord_to_cell(xw, geom)
+    cid = jnp.where(valid, cid, jnp.int32(ncells))
+
+    order = jnp.argsort(cid, stable=True)
+    sort_cid = cid[order]
+    starts = jnp.searchsorted(sort_cid, jnp.arange(ncells + 1, dtype=jnp.int32))
+    rank = jnp.arange(M, dtype=jnp.int32) - starts[jnp.clip(sort_cid, 0, ncells)]
+    ok = (sort_cid < ncells) & (rank < C)
+    dest = jnp.where(ok, sort_cid * C + rank, M)
+
+    new_x = sentinel_positions(M, dtype).at[dest].set(xs[order], mode="drop")
+    new_v = jnp.zeros((M, 3), dtype).at[dest].set(v[order], mode="drop")
+    new_t = jnp.zeros((M,), jnp.int32).at[dest].set(typ[order], mode="drop")
+    overflow = jnp.sum((sort_cid < ncells) & (rank >= C))
+    return new_x, new_v, new_t, overflow
+
+
 def rebin(x, v, typ, valid, geom: CellGeometry):
     """Wrap PBC, sort atoms into the cell-major padded layout.
 

@@ -1,0 +1,240 @@
+"""Pallas TPU kernels for the EAM cell-grid force (two passes).
+
+Same lane-packed layout as the LJ kernel (ops/lj_pallas.py): per cell row,
+candidates are packed [dx=-1 | dx=0 | dx=+1] into the 128-lane axis, with
+z-slab BlockSpec pipelining. The pair-hot spline tables are evaluated as
+Chebyshev fits via in-kernel Clenshaw recurrence (lane-uniform scalar
+coefficients — zero gathers; see ops/eam_grid.py for the accuracy story).
+
+Pass 1 computes per-atom densities; the embedding derivative fp is
+evaluated bit-exactly between the passes (per-atom spline gather in XLA,
+cheap); pass 2 consumes fp through the same lane-packed candidate path and
+produces forces/energy/virial. The structure mirrors the reference's
+two-pass + mid-force exchange (force_eam.cpp:274-449).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cells import CellGeometry, _SENTINEL_BASE
+from .eam import EAMTables
+from .eam_grid import build_cheb_tables, clenshaw
+from .pairgrid import halo_extent, pad_grid_int, to_padded_soa
+
+_BIG = 5.0e5
+
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
+                          ntypes: int = 1, dtype=jnp.float32,
+                          degree: int = 24, interpret: bool = False):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial)."""
+    assert dtype == jnp.float32, "pallas EAM kernel is f32"
+    h = halo_extent(geom)
+    assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
+
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    M = geom.nslots
+    Yp = nby + 2
+    LANE = _round_up(3 * C, 128)
+
+    cheb_rhor, cheb_z2r = build_cheb_tables(tables, degree)
+    cutsq = float(tables.cut ** 2)
+    lo, hi = cheb_rhor.lo, cheb_rhor.hi
+    u_a = 2.0 / (hi - lo)
+    u_b = -(hi + lo) / (hi - lo)
+
+    frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
+    rdrho = 1.0 / tables.drho
+    nrho = tables.nrho
+
+    def self_mask_2d():
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
+        return (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
+
+    def pair_terms(j_refs, xi, y, dz, dy):
+        yy = y + 1 + dy
+        j0 = j_refs[0 * 3 + dz + 1][0, yy][:, None, :]
+        j1 = j_refs[1 * 3 + dz + 1][0, yy][:, None, :]
+        j2 = j_refs[2 * 3 + dz + 1][0, yy][:, None, :]
+        d0 = xi[0][:, :, None] - j0
+        d1 = xi[1][:, :, None] - j1
+        d2 = xi[2][:, :, None] - j2
+        rsq = d0 * d0 + d1 * d1 + d2 * d2
+        mask = rsq < cutsq
+        if dz == 0 and dy == 0:
+            mask = mask & ~self_mask_2d()[None, :, :]
+        r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+        u = jnp.clip(r * u_a + u_b, -1.0, 1.0)
+        return (d0, d1, d2), rsq, r, u, mask
+
+    # ------------------------------------------------------------------
+    # pass 1: rho
+    # ------------------------------------------------------------------
+    def rho_kernel(*refs):
+        j_refs = refs[0:9]
+        xi_refs = refs[9:12]
+        rho_ref = refs[12]
+        y = pl.program_id(1)
+        xi = [xr[0, 0] for xr in xi_refs]
+        rho = jnp.zeros((nbx, C), jnp.float32)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                _, _, _, u, mask = pair_terms(j_refs, xi, y, dz, dy)
+                val = clenshaw(u, cheb_rhor.coeffs)
+                rho = rho + jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
+        rho_ref[0, 0] = rho
+
+    # ------------------------------------------------------------------
+    # pass 2: forces (needs fp of i and of candidates)
+    # ------------------------------------------------------------------
+    def force_kernel(*refs, evflag: bool):
+        j_refs = refs[0:9]
+        fp_refs = refs[9:12]     # lane-packed fp slabs at dz=-1,0,+1
+        xi_refs = refs[12:15]
+        fpi_ref = refs[15]       # (1,1,nbx,C) own fp
+        f_refs = refs[16:19]
+        eng_ref, vir_ref = refs[19], refs[20]
+
+        y = pl.program_id(1)
+        xi = [xr[0, 0] for xr in xi_refs]
+        fp_i = fpi_ref[0, 0]                    # (nbx, C)
+
+        facc = [jnp.zeros((nbx, C), jnp.float32) for _ in range(3)]
+        eng = jnp.zeros((), jnp.float32)
+        vir = jnp.zeros((), jnp.float32)
+
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                (d0, d1, d2), rsq, r, u, mask = pair_terms(j_refs, xi, y, dz, dy)
+                rhoip = clenshaw(u, cheb_rhor.deriv)
+                z2p = clenshaw(u, cheb_z2r.deriv)
+                z2 = clenshaw(u, cheb_z2r.coeffs)
+                recip = 1.0 / r
+                phi = z2 * recip
+                phip = z2p * recip - phi * recip
+                fp_j = fp_refs[dz + 1][0, y + 1 + dy][:, None, :]  # (nbx,1,LANE)
+                psip = (fp_i[:, :, None] + fp_j) * rhoip + phip
+                fpair = jnp.where(mask, -psip * recip, 0.0)
+                facc[0] = facc[0] + jnp.sum(fpair * d0, axis=-1)
+                facc[1] = facc[1] + jnp.sum(fpair * d1, axis=-1)
+                facc[2] = facc[2] + jnp.sum(fpair * d2, axis=-1)
+                if evflag:
+                    eng = eng + jnp.sum(jnp.where(mask, phi, 0.0))
+                    vir = vir + 0.5 * jnp.sum(rsq * fpair)
+
+        for i in range(3):
+            f_refs[i][0, 0] = facc[i]
+        cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+        if evflag:
+            eng_ref[0, 0] = jnp.where(cell00, eng, 0.0)
+            vir_ref[0, 0] = jnp.where(cell00, vir, 0.0)
+        else:
+            eng_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+            vir_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
+
+    # ------------------------------------------------------------------
+    # packing + glue
+    # ------------------------------------------------------------------
+    def pack_lanes(g):
+        """padded (Zp, Yp, Xp_cells, C) -> (Zp, Yp, nbx, LANE)."""
+        j = jnp.concatenate([g[:, :, 0:nbx], g[:, :, 1:nbx + 1],
+                             g[:, :, 2:nbx + 2]], axis=-1)
+        if LANE > 3 * C:
+            pad = jnp.full((*j.shape[:-1], LANE - 3 * C), _BIG, j.dtype)
+            j = jnp.concatenate([j, pad], axis=-1)
+        return j.reshape(nbz + 2, Yp, nbx, LANE)
+
+    def embedding(rho, valid, evflag: bool):
+        p = rho * rdrho + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
+        p = jnp.minimum(p - m.astype(dtype), 1.0)
+        fp = (jnp.take(frho_sp[:, 0], m) * p + jnp.take(frho_sp[:, 1], m)) * p \
+            + jnp.take(frho_sp[:, 2], m)
+        if evflag:
+            emb = ((jnp.take(frho_sp[:, 3], m) * p + jnp.take(frho_sp[:, 4], m)) * p
+                   + jnp.take(frho_sp[:, 5], m)) * p + jnp.take(frho_sp[:, 6], m)
+            return fp, jnp.sum(jnp.where(valid, emb, 0.0))
+        return fp, jnp.zeros((), dtype)
+
+    def j_specs():
+        return [
+            pl.BlockSpec((1, Yp, nbx, LANE),
+                         functools.partial(lambda dz, z, y: (z + dz, 0, 0, 0), dz),
+                         memory_space=pltpu.VMEM)
+            for _c in range(3) for dz in (0, 1, 2)
+        ]
+
+    def fp_specs():
+        return [
+            pl.BlockSpec((1, Yp, nbx, LANE),
+                         functools.partial(lambda dz, z, y: (z + dz, 0, 0, 0), dz),
+                         memory_space=pltpu.VMEM)
+            for dz in (0, 1, 2)
+        ]
+
+    row_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+                            memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    rho_call = pl.pallas_call(
+        rho_kernel,
+        grid=(nbz, nby),
+        in_specs=j_specs() + [row_spec] * 3,
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
+        interpret=interpret,
+    )
+
+    def build(evflag: bool):
+        force_call = pl.pallas_call(
+            functools.partial(force_kernel, evflag=evflag),
+            grid=(nbz, nby),
+            in_specs=j_specs() + fp_specs() + [row_spec] * 4,
+            out_specs=(row_spec, row_spec, row_spec, s_spec, s_spec),
+            out_shape=(
+                *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),) * 3,
+                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )
+
+        def force(x, typ):
+            del typ
+            Xp = to_padded_soa(x, geom, h)
+            J = [pack_lanes(g) for g in Xp]
+            Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
+            jargs = [J[c] for c in range(3) for _dz in range(3)]
+
+            rho = rho_call(*jargs, *Xi)
+            valid = x[:, 0] < 0.5 * _SENTINEL_BASE
+            fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+            fp_pad = pad_grid_int(fp, geom, h).astype(jnp.float32)
+            FP = pack_lanes(fp_pad)
+            fp_i = fp.reshape(nbz, nby, nbx, C)
+
+            f0, f1, f2, eng, vir = force_call(
+                *jargs, FP, FP, FP, *Xi, fp_i)
+            f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
+                          axis=-1)
+            eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
+            return f, eng_vdwl, jnp.sum(vir)
+
+        return force
+
+    return build(True), build(False)

@@ -37,6 +37,9 @@ class Simulation:
     dtype: object
     eng_vdwl: jax.Array | None = None
     virial: jax.Array | None = None
+    # jit caches: re-wrapping jax.jit per call would retrace and hit the
+    # (slow, remote on axon) compile cache every run()
+    _jit_cache: dict = dataclasses.field(default_factory=dict)
 
     # ------------------------------------------------------------------
     # construction
@@ -147,8 +150,14 @@ class Simulation:
         return eligible
 
     # ------------------------------------------------------------------
+    def _jit(self, key, fn):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
     def _compute_initial_force(self):
-        f, eng, vir = jax.jit(self.force_fn)(self.state.x, self.state.typ)
+        f, eng, vir = self._jit("force_ev", self.force_fn)(
+            self.state.x, self.state.typ)
         self.state = self.state._replace(f=f)
         self.eng_vdwl, self.virial = eng, vir
         self._row0 = self.thermo_row(0)
@@ -162,7 +171,7 @@ class Simulation:
     # ------------------------------------------------------------------
     # step functions
     # ------------------------------------------------------------------
-    def _make_step_fns(self):
+    def _make_step_fns(self, with_reneigh_cond: bool = True):
         dt = jnp.asarray(self.inp.dt, self.dtype)
         dtf = jnp.asarray(self.dtforce, self.dtype)
         force_ev, force_noev = self.force_fn, self.force_fn_noev
@@ -181,16 +190,8 @@ class Simulation:
             return MDState(x=x, v=v, f=s.f, typ=typ, valid=valid,
                            overflow=s.overflow + ovf)
 
-        def step(s: MDState, n):
-            """One velocity-Verlet step; n is the 0-based step index.
-
-            Matches Integrate::run's cadence (integrate.cpp:88-204):
-            initial integrate, reneighbor on the `every` cadence, force with
-            evflag only on thermo steps, final integrate.
-            """
-            s = half_kick_drift(s)
-            is_reneigh = (n + 1) % every == 0
-            s = jax.lax.cond(is_reneigh, reneigh, lambda st: st, s)
+        def finish(s: MDState, n):
+            """Force + final integrate + thermo for step index n."""
             if nstat > 0:
                 evflag = (n + 1) % nstat == 0
                 f, eng, vir = jax.lax.cond(evflag, force_ev, force_noev,
@@ -204,20 +205,104 @@ class Simulation:
             p = thermo.pressure(t, vir, scales)
             return s, jnp.stack([t, u, p])
 
-        return step
+        def step(s: MDState, n):
+            """One velocity-Verlet step; n is the 0-based step index.
+
+            Matches Integrate::run's cadence (integrate.cpp:88-204):
+            initial integrate, reneighbor on the `every` cadence, force with
+            evflag only on thermo steps, final integrate.
+            """
+            s = half_kick_drift(s)
+            if with_reneigh_cond:
+                is_reneigh = (n + 1) % every == 0
+                s = jax.lax.cond(is_reneigh, reneigh, lambda st: st, s)
+            return finish(s, n)
+
+        def step_reneigh(s: MDState, n):
+            """A step known statically to reneighbor (no cond)."""
+            s = half_kick_drift(s)
+            s = reneigh(s)
+            return finish(s, n)
+
+        return step, step_reneigh
 
     # ------------------------------------------------------------------
     def run(self, ntimes: int | None = None):
         """Run the timestep loop fully fused; returns (ntimes, 3) [T, U, P]
         per step (thermo subsampling happens at print time)."""
         ntimes = self.inp.ntimes if ntimes is None else ntimes
-        step = self._make_step_fns()
+        key = ("run", ntimes)
+        if key not in self._jit_cache:
+            every = self.inp.neigh_every
+            k, r = divmod(ntimes, every)
+            dt = jnp.asarray(self.inp.dt, self.dtype)
+            dtf = jnp.asarray(self.dtforce, self.dtype)
+            force_ev, force_noev = self.force_fn, self.force_fn_noev
+            geom = self.geom
+            mass, scales, natoms = self.mass, self.scales, self.natoms
+            nstat = self.inp.thermo_nstat
 
-        @jax.jit
-        def run_fn(s: MDState):
-            return jax.lax.scan(step, s, jnp.arange(ntimes))
+            # Lean carry for the hot loop: (x, v, f, typ). Validity is
+            # recovered from the sentinel coordinates; per-rebin overflow
+            # counts ride the trace instead of the carry.
+            def finish(x, v, typ, n):
+                if nstat > 0:
+                    evflag = (n + 1) % nstat == 0
+                    f, eng, vir = jax.lax.cond(evflag, force_ev, force_noev,
+                                               x, typ)
+                else:
+                    f, eng, vir = force_noev(x, typ)
+                v = v + dtf * f
+                t = thermo.temperature(v, mass, scales)
+                u = thermo.energy(eng, natoms, scales)
+                p = thermo.pressure(t, vir, scales)
+                return (x, v, f, typ), (t, u, p)
 
-        self.state, trace = run_fn(self.state)
+            def plain(c, n):
+                x, v, f, typ = c
+                v = v + dtf * f
+                x = x + dt * v
+                c, (t, u, p) = finish(x, v, typ, n)
+                return c, jnp.stack([t, u, p, jnp.zeros_like(t)])
+
+            def reneigh_step(c, n):
+                x, v, f, typ = c
+                v = v + dtf * f
+                x = x + dt * v
+                x, v, typ, ovf = cells.rebin_lean(x, v, typ, geom)
+                c, (t, u, p) = finish(x, v, typ, n)
+                return c, jnp.stack([t, u, p, ovf.astype(t.dtype)])
+
+            def run_fn(s: MDState):
+                """Interval-nested scan: (every-1) plain steps + one
+                statically-reneighboring step per interval — no per-step
+                branch in the hot loop."""
+                c = (s.x, s.v, s.f, s.typ)
+
+                def interval(c, i):
+                    n0 = i * every
+                    c, tr = jax.lax.scan(plain, c, n0 + jnp.arange(every - 1))
+                    c, row = reneigh_step(c, n0 + every - 1)
+                    return c, jnp.concatenate([tr, row[None]], axis=0)
+
+                trace_parts = []
+                if k > 0:
+                    c, tr = jax.lax.scan(interval, c, jnp.arange(k))
+                    trace_parts.append(tr.reshape(k * every, 4))
+                if r > 0:
+                    c, tr = jax.lax.scan(plain, c, k * every + jnp.arange(r))
+                    trace_parts.append(tr)
+                trace = (jnp.concatenate(trace_parts, axis=0)
+                         if len(trace_parts) > 1 else trace_parts[0])
+                x, v, f, typ = c
+                valid = x[:, 0] < 0.5 * cells._SENTINEL_BASE
+                ovf = s.overflow + trace[:, 3].sum().astype(s.overflow.dtype)
+                return MDState(x=x, v=v, f=f, typ=typ, valid=valid,
+                               overflow=ovf), trace[:, :3]
+
+            self._jit_cache[key] = jax.jit(run_fn)
+
+        self.state, trace = self._jit_cache[key](self.state)
         trace = np.asarray(jax.device_get(trace))
         if int(self.state.overflow) > 0:
             raise RuntimeError(
@@ -227,7 +312,8 @@ class Simulation:
             )
         # final force with evflag on, like ljs.cpp:477-483, so thermo state
         # after a run is always consistent regardless of the nstat cadence
-        _, eng, vir = jax.jit(self.force_fn)(self.state.x, self.state.typ)
+        _, eng, vir = self._jit("force_ev", self.force_fn)(
+            self.state.x, self.state.typ)
         self.eng_vdwl, self.virial = eng, vir
         return trace
 
@@ -239,37 +325,39 @@ class Simulation:
 
         ntimes = self.inp.ntimes if ntimes is None else ntimes
         every = self.inp.neigh_every
-        step = self._make_step_fns()
         geom = self.geom
 
-        @partial(jax.jit, static_argnums=2)
-        def scan_steps(s, n0, length):
-            return jax.lax.scan(step, s, n0 + jnp.arange(length))
+        if "timed" not in self._jit_cache:
+            step, _ = self._make_step_fns()
+            dt = jnp.asarray(self.inp.dt, self.dtype)
+            dtf = jnp.asarray(self.dtforce, self.dtype)
 
-        dt = jnp.asarray(self.inp.dt, self.dtype)
-        dtf = jnp.asarray(self.dtforce, self.dtype)
+            def drift_fn(s: MDState):
+                v = s.v + dtf * s.f
+                x = s.x + dt * v
+                return s._replace(x=x, v=v)
 
-        @jax.jit
-        def drift(s: MDState):
-            v = s.v + dtf * s.f
-            x = s.x + dt * v
-            return s._replace(x=x, v=v)
+            def rebin_fn(s: MDState):
+                x, v, typ, valid, ovf = cells.rebin(s.x, s.v, s.typ,
+                                                    s.valid, geom)
+                return MDState(x=x, v=v, f=s.f, typ=typ, valid=valid,
+                               overflow=s.overflow + ovf)
 
-        @jax.jit
-        def rebin_jit(s: MDState):
-            x, v, typ, valid, ovf = cells.rebin(s.x, s.v, s.typ, s.valid, geom)
-            return MDState(x=x, v=v, f=s.f, typ=typ, valid=valid,
-                           overflow=s.overflow + ovf)
+            def force_kick_fn(s: MDState):
+                f, eng, vir = self.force_fn(s.x, s.typ)
+                v = s.v + dtf * f
+                s = s._replace(v=v, f=f)
+                t = thermo.temperature(v, self.mass, self.scales)
+                u = thermo.energy(eng, self.natoms, self.scales)
+                p = thermo.pressure(t, vir, self.scales)
+                return s, jnp.stack([t, u, p])
 
-        @jax.jit
-        def force_kick(s: MDState):
-            f, eng, vir = self.force_fn(s.x, s.typ)
-            v = s.v + dtf * f
-            s = s._replace(v=v, f=f)
-            t = thermo.temperature(v, self.mass, self.scales)
-            u = thermo.energy(eng, self.natoms, self.scales)
-            p = thermo.pressure(t, vir, self.scales)
-            return s, jnp.stack([t, u, p])
+            self._jit_cache["timed"] = (
+                jax.jit(lambda s, n0, length: jax.lax.scan(
+                    step, s, n0 + jnp.arange(length)), static_argnums=2),
+                jax.jit(drift_fn), jax.jit(rebin_fn), jax.jit(force_kick_fn),
+            )
+        scan_steps, drift, rebin_jit, force_kick = self._jit_cache["timed"]
 
         def sync(s):
             jax.block_until_ready(s.x)
@@ -302,7 +390,7 @@ class Simulation:
         self.state = s
         if int(self.state.overflow) > 0:
             raise RuntimeError("cell capacity overflow during timed run")
-        _, eng, vir = jax.jit(self.force_fn)(s.x, s.typ)
+        _, eng, vir = self._jit("force_ev", self.force_fn)(s.x, s.typ)
         self.eng_vdwl, self.virial = eng, vir
         return np.asarray([[r[1], r[2], r[3]] for r in rows])
 
