@@ -43,17 +43,21 @@ def clenshaw(u, coeffs):
     return coeffs[0] + u * b1 - b2
 
 
-def build_cheb_tables(tables: EAMTables, degree: int = 28):
+def build_cheb_tables(tables: EAMTables, degree: int | None = None):
+    """Per-function degrees chosen for <=1e-6 relative fit error
+    (z2r is much smoother than rhor)."""
+    d_rhor = degree or 20
+    d_z2r = degree or 16
     rhor = fit_cheb(tables.rhor_spline, tables.nr, tables.dr,
-                    _RMIN, tables.cut, degree)
+                    _RMIN, tables.cut, d_rhor)
     z2r = fit_cheb(tables.z2r_spline, tables.nr, tables.dr,
-                   _RMIN, tables.cut, degree)
+                   _RMIN, tables.cut, d_z2r)
     return rhor, z2r
 
 
 def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
                         ntypes: int = 1, dtype=jnp.float32,
-                        fp_exchange=None, degree: int = 28):
+                        fp_exchange=None, degree: int | None = None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial)."""
     nbx, nby, nbz = geom.nb
     C = geom.capacity

@@ -37,7 +37,7 @@ def _round_up(n, m):
 
 def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                           ntypes: int = 1, dtype=jnp.float32,
-                          degree: int = 24, interpret: bool = False):
+                          degree: int | None = None, interpret: bool = False):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial)."""
     assert dtype == jnp.float32, "pallas EAM kernel is f32"
     h = halo_extent(geom)

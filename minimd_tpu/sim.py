@@ -86,15 +86,23 @@ class Simulation:
             cutforce = tables.cut
 
             def make_force(geom):
-                # TPU fast path: dense grid + Chebyshev pair tables (see
-                # ops/eam_grid.py). Exact spline gathers stay the default
-                # for f64/CPU validation runs.
-                use_grid = backend in ("pallas", "grid") or (
-                    backend == "auto"
-                    and dtype == jnp.float32
-                    and jax.default_backend() != "cpu"
+                # TPU fast path: Chebyshev pair tables (see ops/eam_grid.py
+                # for the accuracy story); hand-written Pallas kernels when
+                # eligible, XLA grid otherwise. Exact spline gathers stay
+                # the default for f64/CPU validation runs.
+                import numpy as _np
+                on_accel = jax.default_backend() != "cpu"
+                use_fast = backend in ("pallas", "grid") or (
+                    backend == "auto" and dtype == jnp.float32 and on_accel
                 )
-                if use_grid:
+                if use_fast:
+                    pallas_ok = (dtype == jnp.float32 and on_accel
+                                 and int(_np.abs(geom.stencil).max()) == 1
+                                 and backend != "grid")
+                    if pallas_ok:
+                        from .ops.eam_pallas import make_eam_force_pallas
+                        return make_eam_force_pallas(geom, tables, ntypes,
+                                                     dtype=dtype)
                     from .ops.eam_grid import make_eam_force_grid
                     return make_eam_force_grid(geom, tables, ntypes, dtype=dtype)
                 f = make_eam_force(geom, tables, ntypes, dtype=dtype,
