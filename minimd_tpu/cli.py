@@ -160,8 +160,8 @@ def main(argv=None):
     print(f"{row0[0]} {row0[1]:e} {row0[2]:e} {row0[3]:e}  0.000")
 
     timer.barrier_start(TIME_TOTAL)
-    if args.timed:
-        trace = sim.run_timed(timer)
+    if args.timed or args.check_exchange:
+        trace = sim.run_timed(timer, check_exchange=args.check_exchange)
     else:
         trace = sim.run()
     timer.barrier_stop(TIME_TOTAL)

@@ -197,6 +197,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
         in_specs=j_specs() + [row_spec] * 3,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -211,6 +212,8 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                 jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
                 jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
 

@@ -58,57 +58,65 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
     eps = float(params.epsilon[0])
     sig6 = float(params.sigma6[0])
 
-    def kernel(*refs, evflag: bool):
-        # refs: 9 J slabs (coord-major, then dz -1/0/+1), 3 Xi rows,
-        # then outputs f0 f1 f2, eng, vir
-        j_refs = refs[0:9]    # j_refs[c*3 + (dz+1)] -> (1, Yp, nbx, LANE)
-        xi_refs = refs[9:12]  # (1, 1, nbx, C)
-        f_refs = refs[12:15]
-        eng_ref, vir_ref = refs[15], refs[16]
+    # One y-row per program measured fastest: many small programs pipeline
+    # the (nbx, LANE) row DMAs better than fewer big-block programs
+    # (y-blocked variants were 1.3-1.6x slower at 131k).
+    YB = 1
 
-        y = pl.program_id(1)
+    def kernel(*refs, evflag: bool):
+        # refs: 27 J blocks (coord-major, then (dz, dy) row-major), 3 Xi
+        # blocks, then outputs f0 f1 f2, eng, vir. Each J block is (1, YB,
+        # nbx, LANE) from the dy-shifted copy of the packed candidates.
+        j_refs = refs[0:27]
+        xi_refs = refs[27:30]  # (1, YB, nbx, C)
+        f_refs = refs[30:33]
+        eng_ref, vir_ref = refs[33], refs[34]
+
         # self-pair mask for the (dy,dz)=(0,0) row: lane block 1 (dx=0)
         # holds the row itself; self pair when lane%C == i sublane index.
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
         self_mask = (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
 
-        xi0 = xi_refs[0][0, 0]    # (nbx, C)
-        xi1 = xi_refs[1][0, 0]
-        xi2 = xi_refs[2][0, 0]
-
-        facc0 = jnp.zeros((nbx, C), jnp.float32)
-        facc1 = jnp.zeros((nbx, C), jnp.float32)
-        facc2 = jnp.zeros((nbx, C), jnp.float32)
         eng = jnp.zeros((), jnp.float32)
         vir = jnp.zeros((), jnp.float32)
 
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                yy = y + 1 + dy
-                j0 = j_refs[0 * 3 + dz + 1][0, yy][:, None, :]  # (nbx,1,LANE)
-                j1 = j_refs[1 * 3 + dz + 1][0, yy][:, None, :]
-                j2 = j_refs[2 * 3 + dz + 1][0, yy][:, None, :]
-                d0 = xi0[:, :, None] - j0                        # (nbx,C,LANE)
-                d1 = xi1[:, :, None] - j1
-                d2 = xi2[:, :, None] - j2
-                rsq = d0 * d0 + d1 * d1 + d2 * d2
-                mask = rsq < cutsq
-                if dz == 0 and dy == 0:
-                    mask = mask & ~self_mask[None, :, :]
-                sr2 = jnp.where(mask, 1.0, 0.0) / jnp.where(mask, rsq, 1.0)
-                sr6 = sr2 * sr2 * sr2 * sig6
-                fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
-                facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
-                facc1 = facc1 + jnp.sum(fc * d1, axis=-1)
-                facc2 = facc2 + jnp.sum(fc * d2, axis=-1)
-                if evflag:
-                    eng = eng + jnp.sum(jnp.where(mask, sr6 * (sr6 - 1.0), 0.0))
-                    vir = vir + jnp.sum(rsq * fc)
+        for yy in range(YB):
+            xi0 = xi_refs[0][0, yy]    # (nbx, C)
+            xi1 = xi_refs[1][0, yy]
+            xi2 = xi_refs[2][0, yy]
 
-        f_refs[0][0, 0] = facc0
-        f_refs[1][0, 0] = facc1
-        f_refs[2][0, 0] = facc2
+            facc0 = jnp.zeros((nbx, C), jnp.float32)
+            facc1 = jnp.zeros((nbx, C), jnp.float32)
+            facc2 = jnp.zeros((nbx, C), jnp.float32)
+
+            for dz in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    k = (dz + 1) * 3 + (dy + 1)
+                    j0 = j_refs[0 * 9 + k][0, yy][:, None, :]    # (nbx,1,LANE)
+                    j1 = j_refs[1 * 9 + k][0, yy][:, None, :]
+                    j2 = j_refs[2 * 9 + k][0, yy][:, None, :]
+                    d0 = xi0[:, :, None] - j0                    # (nbx,C,LANE)
+                    d1 = xi1[:, :, None] - j1
+                    d2 = xi2[:, :, None] - j2
+                    rsq = d0 * d0 + d1 * d1 + d2 * d2
+                    mask = rsq < cutsq
+                    if dz == 0 and dy == 0:
+                        mask = mask & ~self_mask[None, :, :]
+                    sr2 = jnp.where(mask, 1.0, 0.0) / jnp.where(mask, rsq, 1.0)
+                    sr6 = sr2 * sr2 * sr2 * sig6
+                    fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
+                    facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
+                    facc1 = facc1 + jnp.sum(fc * d1, axis=-1)
+                    facc2 = facc2 + jnp.sum(fc * d2, axis=-1)
+                    if evflag:
+                        eng = eng + jnp.sum(jnp.where(mask, sr6 * (sr6 - 1.0), 0.0))
+                        vir = vir + jnp.sum(rsq * fc)
+
+            f_refs[0][0, yy] = facc0
+            f_refs[1][0, yy] = facc1
+            f_refs[2][0, yy] = facc2
+
         if evflag:
             cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
                 jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
@@ -119,8 +127,9 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             vir_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
 
     def pack_candidates(Xp):
-        """(Zp, Yp, Xp_cells, C) padded grid -> (Zp, Yp, nbx, LANE) lane-
-        packed candidate rows [dx=-1 | dx=0 | dx=+1 | sentinel pad]."""
+        """(Zp, Yp, Xp_cells, C) padded grid -> three y-shifted
+        (Zp, nby, nbx, LANE) lane-packed candidate arrays, one per dy, so
+        program blocks are plain y-aligned slices."""
         packed = []
         for g in Xp:
             j = jnp.concatenate(
@@ -136,28 +145,33 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
         kfn = functools.partial(kernel, evflag=evflag)
         out_shape = (
             *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),) * 3,
-            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32),
         )
-        # three views of each J array, one per dz offset
+        # nine (dz, dy)-offset views of each J array: per-program blocks are
+        # single rows, so VMEM stays constant at any system size
         j_specs = [
-            pl.BlockSpec((1, Yp, nbx, LANE),
-                         functools.partial(lambda dz, z, y: (z + dz, 0, 0, 0), dz),
+            pl.BlockSpec((1, YB, nbx, LANE),
+                         functools.partial(
+                             lambda dz, dy, z, y: (z + dz, y + dy, 0, 0),
+                             dz, dy),
                          memory_space=pltpu.VMEM)
-            for _coord in range(3) for dz in (0, 1, 2)
+            for _coord in range(3) for dz in (0, 1, 2) for dy in (0, 1, 2)
         ]
-        xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+        xi_spec = pl.BlockSpec((1, YB, nbx, C), lambda z, y: (z, y, 0, 0),
                                memory_space=pltpu.VMEM)
-        fspec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+        fspec = pl.BlockSpec((1, YB, nbx, C), lambda z, y: (z, y, 0, 0),
                              memory_space=pltpu.VMEM)
         sspec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
                              memory_space=pltpu.VMEM)
         call = pl.pallas_call(
             kfn,
-            grid=(nbz, nby),
+            grid=(nbz, nby // YB),
             in_specs=j_specs + [xi_spec] * 3,
             out_specs=(fspec, fspec, fspec, sspec, sspec),
             out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )
 
@@ -166,7 +180,7 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             Xp = to_padded_soa(x, geom, h)
             J = pack_candidates(Xp)
             Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
-            args = [J[c] for c in range(3) for _dz in range(3)] + Xi
+            args = [J[c] for c in range(3) for _off in range(9)] + Xi
             f0, f1, f2, eng, vir = call(*args)
             f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
                           axis=-1)

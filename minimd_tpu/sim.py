@@ -325,10 +325,16 @@ class Simulation:
         self.eng_vdwl, self.virial = eng, vir
         return trace
 
-    def run_timed(self, timer, ntimes: int | None = None):
+    def run_timed(self, timer, ntimes: int | None = None,
+                  check_exchange: bool = False):
         """Interval-chunked run with phase timing (reference Timer parity:
         integrate.cpp:101-192 stamps). Slightly slower than run() due to
-        per-interval dispatch; physics identical."""
+        per-interval dispatch; physics identical.
+
+        check_exchange: audit per-interval drift against the skin guarantee
+        (the reference's --check_exchange, integrate.cpp:112-151, adapted
+        to the bound that actually matters here: drift < skin/2 keeps the
+        frozen cell assignment equivalent to a cached Verlet list)."""
         from .timer import TIME_FORCE, TIME_NEIGH
 
         ntimes = self.inp.ntimes if ntimes is None else ntimes
@@ -373,6 +379,12 @@ class Simulation:
         rows = []
         s = self.state
         n = 0
+        skin_half = 0.5 * (self.inp.neigh_cut - self.inp.force_cut)
+        if check_exchange:
+            xold = s.x
+            maxdisp = self._jit("maxdisp", lambda a, b: jnp.max(
+                jnp.where((a[:, :1] < 1e5) & (b[:, :1] < 1e5),
+                          jnp.abs(a - b), 0.0)))
         timer.stamp()
         while n < ntimes:
             upto = min(((n // every) + 1) * every, ntimes)
@@ -387,7 +399,17 @@ class Simulation:
                 s = drift(s)
                 sync(s)
                 timer.stamp(TIME_FORCE)
+                if check_exchange:
+                    d = float(maxdisp(s.x, xold))
+                    if d > skin_half:
+                        print(f"Warning: max per-interval displacement "
+                              f"{d:.4f} exceeds skin/2 = {skin_half:.4f}; "
+                              "pairs may be missed — increase reneighboring "
+                              "frequency or the skin (integrate.cpp:112-151 "
+                              "analog)")
                 s = rebin_jit(s)
+                if check_exchange:
+                    xold = s.x
                 sync(s)
                 timer.stamp(TIME_NEIGH)
                 s, row = force_kick(s)
