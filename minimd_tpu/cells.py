@@ -238,14 +238,15 @@ def _coords_to_cell_np(x: np.ndarray, prd, nbv, binsize, offset=(0.0, 0.0, 0.0))
 # --------------------------------------------------------------------------
 
 def sentinel_positions(nslots: int, dtype) -> jax.Array:
+    """(3, nslots) SoA sentinel coordinates for empty slots."""
     base = jnp.arange(nslots, dtype=dtype) * _SENTINEL_SPACING + _SENTINEL_BASE
-    return jnp.stack([base, jnp.zeros_like(base), jnp.zeros_like(base)], axis=1)
+    return jnp.stack([base, jnp.zeros_like(base), jnp.zeros_like(base)], axis=0)
 
 
 def pbc_wrap(x: jax.Array, prd) -> jax.Array:
-    """Wrap into [0, prd) with the reference's two-test ordering guarantee
-    (ref/atom.cpp:102-122): one period shift at most per step interval."""
-    prd = jnp.asarray(prd, dtype=x.dtype)
+    """Wrap (3, M) coordinates into [0, prd) with the reference's two-test
+    ordering guarantee (ref/atom.cpp:102-122)."""
+    prd = jnp.asarray(prd, dtype=x.dtype)[:, None]
     x = jnp.where(x < 0.0, x + prd, x)
     x = jnp.where(x >= prd, x - prd, x)
     return x
@@ -258,14 +259,14 @@ def coord_to_cell(xw: jax.Array, geom: CellGeometry) -> tuple[jax.Array, jax.Arr
     dimension and are stored at x+prd so the cell's contents are spatially
     contiguous (see CellGeometry.offset)."""
     nb = jnp.asarray(geom.nb, dtype=jnp.int32)
-    prd = jnp.asarray(geom.prd, dtype=xw.dtype)
-    off = jnp.asarray(geom.offset, dtype=xw.dtype)
-    inv = jnp.asarray(1.0 / np.asarray(geom.binsize), dtype=xw.dtype)
+    prd = jnp.asarray(geom.prd, dtype=xw.dtype)[:, None]
+    off = jnp.asarray(geom.offset, dtype=xw.dtype)[:, None]
+    inv = jnp.asarray(1.0 / np.asarray(geom.binsize), dtype=xw.dtype)[:, None]
     g = xw - off
     xs = jnp.where(g < 0, xw + prd, xw)
     g = jnp.where(g < 0, g + prd, g)
-    idx = jnp.clip((g * inv).astype(jnp.int32), 0, nb - 1)
-    return (idx[:, 2] * nb[1] + idx[:, 1]) * nb[0] + idx[:, 0], xs
+    idx = jnp.clip((g * inv).astype(jnp.int32), 0, nb[:, None] - 1)
+    return (idx[2] * nb[1] + idx[1]) * nb[0] + idx[0], xs
 
 
 def rebin_lean(x, v, typ, geom: CellGeometry):
@@ -277,7 +278,7 @@ def rebin_lean(x, v, typ, geom: CellGeometry):
     C = geom.capacity
     dtype = x.dtype
 
-    valid = x[:, 0] < 0.5 * _SENTINEL_BASE
+    valid = x[0] < 0.5 * _SENTINEL_BASE
     xw = pbc_wrap(x, geom.prd)
     cid, xs = coord_to_cell(xw, geom)
     cid = jnp.where(valid, cid, jnp.int32(ncells))
@@ -289,8 +290,8 @@ def rebin_lean(x, v, typ, geom: CellGeometry):
     ok = (sort_cid < ncells) & (rank < C)
     dest = jnp.where(ok, sort_cid * C + rank, M)
 
-    new_x = sentinel_positions(M, dtype).at[dest].set(xs[order], mode="drop")
-    new_v = jnp.zeros((M, 3), dtype).at[dest].set(v[order], mode="drop")
+    new_x = sentinel_positions(M, dtype).at[:, dest].set(xs[:, order], mode="drop")
+    new_v = jnp.zeros((3, M), dtype).at[:, dest].set(v[:, order], mode="drop")
     new_t = jnp.zeros((M,), jnp.int32).at[dest].set(typ[order], mode="drop")
     overflow = jnp.sum((sort_cid < ncells) & (rank >= C))
     return new_x, new_v, new_t, overflow
@@ -321,10 +322,98 @@ def rebin(x, v, typ, valid, geom: CellGeometry):
     ok = (sort_cid < ncells) & (rank < C)
     dest = jnp.where(ok, sort_cid * C + rank, M)  # M == out-of-range -> drop
 
-    new_x = sentinel_positions(M, dtype).at[dest].set(xs[order], mode="drop")
-    new_v = jnp.zeros((M, 3), dtype).at[dest].set(v[order], mode="drop")
+    new_x = sentinel_positions(M, dtype).at[:, dest].set(xs[:, order], mode="drop")
+    new_v = jnp.zeros((3, M), dtype).at[:, dest].set(v[:, order], mode="drop")
     new_t = jnp.zeros((M,), jnp.int32).at[dest].set(typ[order], mode="drop")
     new_valid = jnp.zeros((M,), bool).at[dest].set(valid[order], mode="drop")
 
     overflow = jnp.sum((sort_cid < ncells) & (rank >= C))
     return new_x, new_v, new_t, new_valid, overflow
+
+
+def rebin_local(x, v, typ, geom: CellGeometry):
+    """Locality-aware rebin: pull each cell's new occupants from its 27-cell
+    neighborhood with exact one-hot contractions — no global sort, no
+    gathers, no scatters (all three are slow on TPU; the sort-based rebin
+    cost ~276 ms at 864k atoms, dominated by M-sized permutations).
+
+    Correctness rests on the same skin guarantee as the force kernels: an
+    atom moves at most one cell between rebinnings. Atoms that moved
+    further are counted in `overflow` (the run fails loudly), as are cells
+    whose new occupancy exceeds the capacity.
+
+    Returns (x, v, typ, overflow) like rebin_lean; the within-cell atom
+    order is (stencil-offset, slot) lexicographic — a different (equally
+    valid) order than the global sort produces.
+    """
+    from .ops.pairgrid import pad_grid_int, stencil_slice
+
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    ncells = geom.ncells
+    M = geom.nslots
+    dtype = x.dtype
+    nb = (nbx, nby, nbz)
+
+    valid = x[0] < 0.5 * _SENTINEL_BASE
+    xw = pbc_wrap(x, geom.prd)
+    cid, xs = coord_to_cell(xw, geom)
+    cid = jnp.where(valid, cid, jnp.int32(-1))
+
+    # movement guard: new cell within +-1 (with wrap) of the slot's cell
+    old = jnp.arange(M, dtype=jnp.int32) // C
+    def cxyz(c):
+        return c % nbx, (c // nbx) % nby, c // (nbx * nby)
+    ox_, oy_, oz_ = cxyz(old)
+    nx_, ny_, nz_ = cxyz(jnp.maximum(cid, 0))
+    def near(a, b, n):
+        d = jnp.abs(a - b)
+        return jnp.minimum(d, n - d) <= 1
+    ok_near = near(ox_, nx_, nbx) & near(oy_, ny_, nby) & near(oz_, nz_, nbz)
+    overflow = jnp.sum(valid & ~ok_near).astype(jnp.int32)
+
+    # channels to relocate: stored coords, velocities, type (exact in f32
+    # for the int range we use), validity
+    chans = [xs[0], xs[1], xs[2], v[0], v[1], v[2],
+             typ.astype(dtype)]
+
+    # padded (wrapped-index, unshifted-value) grids
+    cid_pad = pad_grid_int(cid, geom, 1)
+    chan_pad = [pad_grid_int(c, geom, 1) for c in chans]
+
+    cell_ids = jnp.arange(ncells, dtype=jnp.int32).reshape(nbz, nby, nbx)
+    offsets = [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dx in (-1, 0, 1)]
+
+    out = [jnp.full((ncells, C), 0.0, dtype) for _ in chans]
+    # sentinel placement for unoccupied slots is restored at the end
+    base = jnp.zeros((ncells, 1), jnp.int32)
+    rank_row = jnp.arange(C, dtype=jnp.int32)
+
+    for off in offsets:
+        cand_cid = stencil_slice(cid_pad, off, 1, nb).reshape(ncells, C)
+        sel = cand_cid == cell_ids.reshape(ncells, 1)
+        rank = base + jnp.cumsum(sel, axis=-1, dtype=jnp.int32) - 1
+        onehot = (sel[:, None, :]
+                  & (rank[:, None, :] == rank_row[None, :, None])).astype(dtype)
+        for i, cp in enumerate(chan_pad):
+            vals = stencil_slice(cp, off, 1, nb).reshape(ncells, C)
+            out[i] = out[i] + jax.lax.dot_general(
+                onehot, vals,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
+        base = base + jnp.sum(sel, axis=-1, dtype=jnp.int32)[:, None]
+
+    counts = base[:, 0]
+    overflow = overflow + jnp.sum(jnp.maximum(counts - C, 0)).astype(jnp.int32)
+
+    occ = (rank_row[None, :] < counts[:, None]).reshape(M)
+    sent = sentinel_positions(M, dtype)
+    new_x = jnp.stack([jnp.where(occ, out[d].reshape(M), sent[d])
+                       for d in range(3)], axis=0)
+    new_v = jnp.stack([jnp.where(occ, out[3 + d].reshape(M), 0.0)
+                       for d in range(3)], axis=0)
+    new_t = jnp.where(occ, out[6].reshape(M).astype(jnp.int32), 0)
+    return new_x, new_v, new_t, overflow

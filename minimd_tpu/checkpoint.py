@@ -17,13 +17,13 @@ from .config import In
 def save(path, sim, step: int = 0):
     """Write a compact checkpoint of the live simulation state."""
     valid = np.asarray(sim.state.valid)
-    x = np.asarray(sim.state.x)[valid]
+    x = np.asarray(sim.state.x).T[valid]
     prd = np.asarray(sim.geom.prd)
     x = x - np.floor(x / prd) * prd          # fold unfolded storage coords
     np.savez_compressed(
         path,
         x=x,
-        v=np.asarray(sim.state.v)[valid],
+        v=np.asarray(sim.state.v).T[valid],
         typ=np.asarray(sim.state.typ)[valid],
         prd=prd,
         mass=sim.mass,

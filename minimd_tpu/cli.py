@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-gn", "--ghost_newton", type=int, default=0,
                    help="[no-op] see --half_neigh")
     p.add_argument("-sse", type=int, default=0, help="[no-op]")
+    p.add_argument("-d", "--device", type=int, default=0,
+                   help="[no-op on TPU] reference GPU device id")
+    p.add_argument("-dm", "--device_map", action="store_true",
+                   help="[no-op on TPU] reference GPU/rank mapping")
+    p.add_argument("-ng", "--num_gpus", type=int, default=2, help="[no-op]")
+    p.add_argument("--skip_gpu", type=int, default=-1, help="[no-op]")
     p.add_argument("--check_exchange", action="store_true")
     p.add_argument("--safe_exchange", action="store_true",
                    help="[no-op] migration is always capacity-checked")

@@ -157,8 +157,8 @@ def make_eam_force(geom: CellGeometry, tables: EAMTables, ntypes: int = 1,
 
     def force(x, typ):
         del typ  # single-table EAM: types don't differentiate (see docstring)
-        xc = x.reshape(ncells, C, 3)
-        valid = x[:, 0] < 0.5 * _SENTINEL_BASE
+        xc = x.T.reshape(ncells, C, 3)
+        valid = x[0] < 0.5 * _SENTINEL_BASE
 
         rho = jax.lax.map(partial(density_chunk, xc), (cand_c, shift_c, cell_idx_c))
         rho = rho.reshape(M)
@@ -170,7 +170,7 @@ def make_eam_force(geom: CellGeometry, tables: EAMTables, ntypes: int = 1,
         fis, engs, virs = jax.lax.map(
             partial(force_chunk, xc, fpc, fpc), (cand_c, shift_c, cell_idx_c)
         )
-        f = fis.reshape(M, 3)
+        f = fis.reshape(M, 3).T
         eng_vdwl = 2.0 * (embed_eng + jnp.sum(engs))   # force_eam.cpp:446
         return f, eng_vdwl, jnp.sum(virs)
 

@@ -109,7 +109,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
         del typ  # single-funcfl: all type pairs share the table
         Xp = to_padded_soa(x, geom, h)
         Xi = [stencil_slice(g, (0, 0, 0), h, geom.nb) for g in Xp]
-        valid = x[:, 0] < 0.5 * _SENTINEL_BASE
+        valid = x[0] < 0.5 * _SENTINEL_BASE
 
         # ---- pass 1: densities
         rho = jnp.zeros((nbz, nby, nbx, C), dtype)
@@ -147,7 +147,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
                 eng = eng + jnp.sum(jnp.where(mask, phi, 0.0))
                 vir = vir + 0.5 * jnp.sum(rsq * fpair)
 
-        fout = jnp.stack([fd.reshape(M) for fd in f], axis=-1)
+        fout = jnp.stack([fd.reshape(M) for fd in f], axis=0)
         eng_vdwl = 2.0 * (embed_eng + 0.5 * eng)     # force_eam.cpp:446
         return fout, eng_vdwl, vir
 

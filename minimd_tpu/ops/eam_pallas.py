@@ -225,7 +225,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             jargs = [J[c] for c in range(3) for _dz in range(3)]
 
             rho = rho_call(*jargs, *Xi)
-            valid = x[:, 0] < 0.5 * _SENTINEL_BASE
+            valid = x[0] < 0.5 * _SENTINEL_BASE
             fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
             fp_pad = pad_grid_int(fp, geom, h).astype(jnp.float32)
             FP = pack_lanes(fp_pad)
@@ -234,7 +234,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             f0, f1, f2, eng, vir = force_call(
                 *jargs, FP, FP, FP, *Xi, fp_i)
             f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
-                          axis=-1)
+                          axis=0)
             eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
             return f, eng_vdwl, jnp.sum(vir)
 

@@ -131,12 +131,13 @@ def make_lj_force(geom: CellGeometry, params: LJParams, dtype=jnp.float32,
         return fi, eng, vir
 
     def force(x, typ):
-        xc = x.reshape(ncells, C, 3)
+        # gather backend keeps its (slots, 3) internal layout
+        xc = x.T.reshape(ncells, C, 3)
         tc = typ.reshape(ncells, C) if not uniform else None
         fis, engs, virs = jax.lax.map(
             partial(chunk_body, xc, tc), (cand_c, shift_c, cell_idx_c)
         )
-        f = fis.reshape(M, 3)
+        f = fis.reshape(M, 3).T
         return f, jnp.sum(engs) * 4.0, jnp.sum(virs) * 0.5
 
     return force

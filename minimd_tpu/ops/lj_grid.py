@@ -94,7 +94,7 @@ def make_lj_force_grid(geom: CellGeometry, params: LJParams, dtype=jnp.float32):
         Xp = to_padded_soa(x, geom, h)
         Tp = pad_grid_int(typ, geom, h) if not params.uniform else None
         f, eng, vir = lj_pair_loop(Xp, Tp, geom.nb, geom, params, dtype, evflag)
-        fout = jnp.stack([fd.reshape(M) for fd in f], axis=-1)
+        fout = jnp.stack([fd.reshape(M) for fd in f], axis=0)
         return fout, eng, vir
 
     def force_ev(x, typ):

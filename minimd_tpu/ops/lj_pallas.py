@@ -183,7 +183,7 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             args = [J[c] for c in range(3) for _off in range(9)] + Xi
             f0, f1, f2, eng, vir = call(*args)
             f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
-                          axis=-1)
+                          axis=0)
             return f, jnp.sum(eng), jnp.sum(vir)
 
         return force

@@ -26,7 +26,7 @@ def halo_extent(geom: CellGeometry) -> int:
 
 
 def to_padded_soa(x, geom: CellGeometry, h: int, nb_local=None, exchanges=None):
-    """(M, 3) flat cell-major positions -> 3 padded (Z+2h, Y+2h, X+2h, C)
+    """(3, M) flat cell-major positions -> 3 padded (Z+2h, Y+2h, X+2h, C)
     coordinate grids with halo images.
 
     Fills dim-by-dim (x, then y, then z) so edge/corner halos are composed
@@ -43,10 +43,9 @@ def to_padded_soa(x, geom: CellGeometry, h: int, nb_local=None, exchanges=None):
     nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
     prd = geom.prd
-    Xr = x.reshape(nbz, nby, nbx, C, 3)
     out = []
     for d in range(3):
-        g = Xr[..., d]
+        g = x[d].reshape(nbz, nby, nbx, C)
         out.append(_pad_halo(g, h, float(prd[d]), d, exchanges))
     return out
 

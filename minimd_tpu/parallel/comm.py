@@ -65,16 +65,17 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
     dim_of = {"x": 0, "y": 1, "z": 2}
 
     def global_cell_index(xw, d):
-        """Global cell coordinate along dimension d for wrapped positions,
-        honoring the grid offset + unfolding convention (cells.py)."""
-        g = xw[:, d] - offset[d]
+        """Global cell coordinate along dimension d for wrapped (3, M)
+        positions, honoring the grid offset + unfolding convention
+        (cells.py)."""
+        g = xw[d] - offset[d]
         g = jnp.where(g < 0, g + prd[d], g)
         return jnp.clip((g * (1.0 / binsize[d])).astype(jnp.int32),
                         0, nb_all[_AXES[2 - d]] - 1)
 
     def exchange_rebin(x, v, typ, valid):
         # wrap into [0, prd)
-        p = jnp.asarray(prd, dtype=x.dtype)
+        p = jnp.asarray(prd, dtype=x.dtype)[:, None]
         xw = jnp.where(x < 0, x + p, x)
         xw = jnp.where(xw >= p, xw - p, xw)
 
@@ -106,10 +107,9 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
             def pack(leaving):
                 order = jnp.argsort(~leaving)  # leavers first, stable
                 count = jnp.sum(leaving)
-                sl = (slice(0, B),)
-                bx = pool_x[order][sl]
-                bv = pool_v[order][sl]
-                bt = pool_t[order][sl]
+                bx = pool_x[:, order][:, :B]
+                bv = pool_v[:, order][:, :B]
+                bt = pool_t[order][:B]
                 bok = (jnp.arange(B) < count) & (count <= B)
                 ovf = jnp.maximum(count - B, 0).astype(jnp.int32)
                 return bx, bv, bt, bok, ovf
@@ -126,8 +126,8 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
 
             # my pool keeps non-leavers; arrivals appended
             stay = pool_ok & ~leave_lo & ~leave_hi
-            pool_x = jnp.concatenate([pool_x, rlo[0], rhi[0]])
-            pool_v = jnp.concatenate([pool_v, rlo[1], rhi[1]])
+            pool_x = jnp.concatenate([pool_x, rlo[0], rhi[0]], axis=1)
+            pool_v = jnp.concatenate([pool_v, rlo[1], rhi[1]], axis=1)
             pool_t = jnp.concatenate([pool_t, rlo[2], rhi[2]])
             pool_ok = jnp.concatenate([stay, rlo[3], rhi[3]])
 
@@ -159,14 +159,14 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
         overflow = overflow + jnp.sum((sort_cid < ncl) & (rank >= C)).astype(jnp.int32)
 
         # storage ("unfolded") coordinates relative to the grid offset
-        off = jnp.asarray(offset, dtype=pool_x.dtype)
+        off = jnp.asarray(offset, dtype=pool_x.dtype)[:, None]
         g = pool_x - off
         xs = jnp.where(g < 0, pool_x + p, pool_x)
 
-        new_x = sentinel_positions(M_local, pool_x.dtype).at[dest].set(
-            xs[order], mode="drop")
-        new_v = jnp.zeros((M_local, 3), pool_v.dtype).at[dest].set(
-            pool_v[order], mode="drop")
+        new_x = sentinel_positions(M_local, pool_x.dtype).at[:, dest].set(
+            xs[:, order], mode="drop")
+        new_v = jnp.zeros((3, M_local), pool_v.dtype).at[:, dest].set(
+            pool_v[:, order], mode="drop")
         new_t = jnp.zeros((M_local,), jnp.int32).at[dest].set(
             pool_t[order], mode="drop")
         new_ok = jnp.zeros((M_local,), bool).at[dest].set(

@@ -96,16 +96,16 @@ def make_sharded_lj_step(
     dtf_c = jnp.asarray(dtforce, dtype)
     exchanges = _make_exchanges(mesh, geom.prd, dtype)
 
-    spec = P("z", "y", "x", None, None)
+    spec = P(None, "z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
 
     def local_force(x_local, evflag=True):
-        flat = x_local.reshape(-1, 3)
+        flat = x_local.reshape(3, -1)
         Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
                            exchanges=exchanges)
         f, eng, vir = lj_pair_loop(Xp, None, (lx, ly, lz), geom, params,
                                    dtype, evflag)
-        fg = jnp.stack(f, axis=-1)  # (lz, ly, lx, C, 3)
+        fg = jnp.stack(f, axis=0)  # (3, lz, ly, lx, C)
         return fg, eng, vir
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec, spec),
@@ -154,17 +154,17 @@ def make_sharded_lj_run(
     exchanges = _make_exchanges(mesh, geom.prd, dtype)
     exchange_rebin = make_exchange_rebin(geom, mesh, dtype)
 
-    spec = P("z", "y", "x", None, None)
+    spec = P(None, "z", "y", "x", None)
     spec1 = P("z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
 
     def local_force(x_local, evflag=True):
-        flat = x_local.reshape(-1, 3)
+        flat = x_local.reshape(3, -1)
         Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
                            exchanges=exchanges)
         f, eng, vir = lj_pair_loop(Xp, None, (lx, ly, lz), geom, params,
                                    dtype, evflag)
-        return jnp.stack(f, axis=-1), eng, vir
+        return jnp.stack(f, axis=0), eng, vir
 
     def sharded_scan(x, v, f, typ, valid, ntimes: int):
         gshape = x.shape
@@ -172,10 +172,10 @@ def make_sharded_lj_run(
         def reneigh(args):
             x, v, typ, valid, ovf = args
             xf, vf, tf, okf, o2 = exchange_rebin(
-                x.reshape(-1, 3), v.reshape(-1, 3),
+                x.reshape(3, -1), v.reshape(3, -1),
                 typ.reshape(-1), valid.reshape(-1))
             return (xf.reshape(gshape), vf.reshape(gshape),
-                    tf.reshape(gshape[:4]), okf.reshape(gshape[:4]),
+                    tf.reshape(gshape[1:]), okf.reshape(gshape[1:]),
                     ovf + o2)
 
         def body(carry, n):

@@ -273,11 +273,16 @@ class Simulation:
                 c, (t, u, p) = finish(x, v, typ, n)
                 return c, jnp.stack([t, u, p, jnp.zeros_like(t)])
 
+            # local (one-hot pull) rebin needs distinct wrap neighbors;
+            # tiny grids fall back to the sort-based path
+            rebin_fn = (cells.rebin_local if min(geom.nb) >= 3
+                        else cells.rebin_lean)
+
             def reneigh_step(c, n):
                 x, v, f, typ = c
                 v = v + dtf * f
                 x = x + dt * v
-                x, v, typ, ovf = cells.rebin_lean(x, v, typ, geom)
+                x, v, typ, ovf = rebin_fn(x, v, typ, geom)
                 c, (t, u, p) = finish(x, v, typ, n)
                 return c, jnp.stack([t, u, p, ovf.astype(t.dtype)])
 
@@ -303,7 +308,7 @@ class Simulation:
                 trace = (jnp.concatenate(trace_parts, axis=0)
                          if len(trace_parts) > 1 else trace_parts[0])
                 x, v, f, typ = c
-                valid = x[:, 0] < 0.5 * cells._SENTINEL_BASE
+                valid = x[0] < 0.5 * cells._SENTINEL_BASE
                 ovf = s.overflow + trace[:, 3].sum().astype(s.overflow.dtype)
                 return MDState(x=x, v=v, f=f, typ=typ, valid=valid,
                                overflow=ovf), trace[:, :3]
@@ -383,7 +388,7 @@ class Simulation:
         if check_exchange:
             xold = s.x
             maxdisp = self._jit("maxdisp", lambda a, b: jnp.max(
-                jnp.where((a[:, :1] < 1e5) & (b[:, :1] < 1e5),
+                jnp.where((a[0:1] < 1e5) & (b[0:1] < 1e5),
                           jnp.abs(a - b), 0.0)))
         timer.stamp()
         while n < ntimes:

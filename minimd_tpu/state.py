@@ -13,11 +13,13 @@ from .cells import CellGeometry, rebin, sentinel_positions
 
 
 class MDState(NamedTuple):
-    """Cell-major padded atom state. Slot i belongs to cell i // C."""
+    """Cell-major padded atom state, SoA layout (coordinate-major: the
+    lane axis is the long slot axis, which is what the TPU wants).
+    Slot i belongs to cell i // C."""
 
-    x: jax.Array       # (M, 3) positions; sentinels in empty slots
-    v: jax.Array       # (M, 3) velocities; zero in empty slots
-    f: jax.Array       # (M, 3) forces; zero in empty slots
+    x: jax.Array       # (3, M) positions; sentinels in empty slots
+    v: jax.Array       # (3, M) velocities; zero in empty slots
+    f: jax.Array       # (3, M) forces; zero in empty slots
     typ: jax.Array     # (M,)  int32 atom types
     valid: jax.Array   # (M,)  bool occupancy mask
     overflow: jax.Array  # () int32: cumulative cell-capacity overflows
@@ -32,11 +34,11 @@ def init_state(x_np: np.ndarray, v_np: np.ndarray, typ_np: np.ndarray,
         raise ValueError(f"{n} atoms exceed cell layout capacity {M}")
 
     x = sentinel_positions(M, dtype)
-    x = x.at[:n].set(jnp.asarray(x_np, dtype=dtype))
-    v = jnp.zeros((M, 3), dtype).at[:n].set(jnp.asarray(v_np, dtype=dtype))
+    x = x.at[:, :n].set(jnp.asarray(np.asarray(x_np).T, dtype=dtype))
+    v = jnp.zeros((3, M), dtype).at[:, :n].set(jnp.asarray(np.asarray(v_np).T, dtype=dtype))
     typ = jnp.zeros((M,), jnp.int32).at[:n].set(jnp.asarray(typ_np, dtype=jnp.int32))
     valid = jnp.zeros((M,), bool).at[:n].set(True)
 
     x, v, typ, valid, ovf = rebin(x, v, typ, valid, geom)
-    f = jnp.zeros((M, 3), dtype)
+    f = jnp.zeros((3, M), dtype)
     return MDState(x=x, v=v, f=f, typ=typ, valid=valid, overflow=ovf)

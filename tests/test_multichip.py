@@ -64,17 +64,17 @@ def test_sharded_step_matches_single_device(shared_system):
         geom, params, mesh, sc, mass=1.0, dt=inp.dt, dtforce=dtf,
         natoms=natoms, dtype=jnp.float64)
     nbx, nby, nbz = geom.nb
-    shape = (nbz, nby, nbx, geom.capacity, 3)
+    shape = (3, nbz, nby, nbx, geom.capacity)
     xg = jax.device_put(jnp.asarray(st.x).reshape(shape), sharding)
     vg = jax.device_put(jnp.asarray(st.v).reshape(shape), sharding)
     fg = jax.device_put(jnp.asarray(f0).reshape(shape), sharding)
     xg, vg, fg, tup = step(xg, vg, fg)
 
-    np.testing.assert_allclose(np.asarray(xg).reshape(-1, 3), np.asarray(x1),
+    np.testing.assert_allclose(np.asarray(xg).reshape(3, -1), np.asarray(x1),
                                rtol=0, atol=1e-13)
-    np.testing.assert_allclose(np.asarray(fg).reshape(-1, 3), np.asarray(f1),
+    np.testing.assert_allclose(np.asarray(fg).reshape(3, -1), np.asarray(f1),
                                rtol=1e-12, atol=1e-12)
-    np.testing.assert_allclose(np.asarray(vg).reshape(-1, 3), np.asarray(v2),
+    np.testing.assert_allclose(np.asarray(vg).reshape(3, -1), np.asarray(v2),
                                rtol=1e-12, atol=1e-13)
     # thermo: sharded psum vs single-device reductions
     t_single = float(jnp.sum(v2 * v2) * sc.t_scale)
@@ -120,15 +120,16 @@ def test_sharded_full_run_with_migration(shared_system):
         natoms=natoms, neigh_every=inp.neigh_every, dtype=jnp.float64)
 
     nbx, nby, nbz = geom.nb
-    gs = (nbz, nby, nbx, geom.capacity, 3)
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
     f0 = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(
         st.x, st.typ)[0]
-    shard = NamedSharding(mesh, P("z", "y", "x"))
+    shard = NamedSharding(mesh, P(None, "z", "y", "x"))
     shard1 = NamedSharding(mesh, P("z", "y", "x", None))
     args = [jax.device_put(np.asarray(a).reshape(gs), shard)
             for a in (st.x, st.v, f0)]
-    targ = jax.device_put(np.asarray(st.typ).reshape(gs[:4]), shard1)
-    varg = jax.device_put(np.asarray(st.valid).reshape(gs[:4]), shard1)
+    targ = jax.device_put(np.asarray(st.typ).reshape(gs1), shard1)
+    varg = jax.device_put(np.asarray(st.valid).reshape(gs1), shard1)
 
     xg, vg, fg, tg, okg, ovf, tr8 = run(*args, targ, varg, 60)
     assert int(ovf) == 0
