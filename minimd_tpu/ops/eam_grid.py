@@ -57,11 +57,18 @@ def build_cheb_tables(tables: EAMTables, degree: int | None = None):
 
 def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
                         ntypes: int = 1, dtype=jnp.float32,
-                        fp_exchange=None, degree: int | None = None):
-    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial)."""
-    nbx, nby, nbz = geom.nb
+                        fp_exchange=None, degree: int | None = None,
+                        nb_local=None, exchanges=None):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
+
+    nb_local/exchanges: device-local grid shape and per-axis halo exchange
+    hooks for sharded execution (see pairgrid.to_padded_soa). The fp halo
+    between the passes rides the same hooks — the reference's mid-force
+    communicate (force_eam.cpp:851-887)."""
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
+    nb_loc = (nbx, nby, nbz)
     C = geom.capacity
-    M = geom.nslots
+    M_loc = nbx * nby * nbz * C
     h = halo_extent(geom)
     offsets = [tuple(int(v) for v in o) for o in geom.stencil]
     diag = jnp.eye(C, dtype=bool)
@@ -80,7 +87,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
         return jnp.clip(r * u_a + u_b, -1.0, 1.0)
 
     def pair_r(Xi, Xp, off):
-        Yd = [stencil_slice(g, off, h, geom.nb) for g in Xp]
+        Yd = [stencil_slice(g, off, h, nb_loc) for g in Xp]
         d0 = Xi[0][..., :, None] - Yd[0][..., None, :]
         d1 = Xi[1][..., :, None] - Yd[1][..., None, :]
         d2 = Xi[2][..., :, None] - Yd[2][..., None, :]
@@ -107,8 +114,8 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
 
     def _force(x, typ, evflag: bool):
         del typ  # single-funcfl: all type pairs share the table
-        Xp = to_padded_soa(x, geom, h)
-        Xi = [stencil_slice(g, (0, 0, 0), h, geom.nb) for g in Xp]
+        Xp = to_padded_soa(x, geom, h, nb_local=nb_loc, exchanges=exchanges)
+        Xi = [stencil_slice(g, (0, 0, 0), h, nb_loc) for g in Xp]
         valid = x[0] < 0.5 * _SENTINEL_BASE
 
         # ---- pass 1: densities
@@ -118,11 +125,13 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
             val = clenshaw(u_of_r(r), cheb_rhor.coeffs)
             rho = rho + jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
 
-        fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+        fp, embed_eng = embedding(rho.reshape(M_loc), valid, evflag)
         if fp_exchange is not None:
             fp = fp_exchange(fp)
-        fp_pad = pad_grid_int(fp, geom, h)          # halo of fp (no shift)
-        fp_i = stencil_slice(fp_pad, (0, 0, 0), h, geom.nb)
+        # fp halo (no coordinate shift): the reference's mid-force exchange
+        fp_pad = pad_grid_int(fp, geom, h, nb_local=nb_loc,
+                              exchanges=exchanges)
+        fp_i = stencil_slice(fp_pad, (0, 0, 0), h, nb_loc)
 
         # ---- pass 2: forces
         f = [jnp.zeros((nbz, nby, nbx, C), dtype) for _ in range(3)]
@@ -137,7 +146,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
             recip = 1.0 / r
             phi = z2 * recip
             phip = z2p * recip - phi * recip
-            fp_j = stencil_slice(fp_pad, off, h, geom.nb)
+            fp_j = stencil_slice(fp_pad, off, h, nb_loc)
             psip = (fp_i[..., :, None] + fp_j[..., None, :]) * rhoip + phip
             fpair = jnp.where(mask, -psip * recip, 0.0)
             f[0] = f[0] + jnp.sum(fpair * d0, axis=-1)
@@ -147,7 +156,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
                 eng = eng + jnp.sum(jnp.where(mask, phi, 0.0))
                 vir = vir + 0.5 * jnp.sum(rsq * fpair)
 
-        fout = jnp.stack([fd.reshape(M) for fd in f], axis=0)
+        fout = jnp.stack([fd.reshape(M_loc) for fd in f], axis=0)
         eng_vdwl = 2.0 * (embed_eng + 0.5 * eng)     # force_eam.cpp:446
         return fout, eng_vdwl, vir
 

@@ -71,14 +71,20 @@ def _pad_halo(g, h: int, prd_d: float, coord_dim: int, exchanges=None):
     return g
 
 
-def pad_grid_int(t, geom: CellGeometry, h: int):
-    """Pad a (M,) int cell-major array (e.g. types) with periodic halo."""
-    nbx, nby, nbz = geom.nb
+def pad_grid_int(t, geom: CellGeometry, h: int, nb_local=None, exchanges=None):
+    """Pad a (M,) per-slot cell-major array (types, EAM fp, cell ids) with
+    a halo: periodic self-copies, or neighbor slabs via `exchanges` hooks
+    on decomposed axes (no coordinate shift — these are not positions).
+    This is the reference's scalar forward-comm (EAM fp halo,
+    force_eam.cpp:851-914) in slab form."""
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
     g = t.reshape(nbz, nby, nbx, C)
     for axis in (2, 1, 0):
         lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]), axis=axis)
         hi = jnp.take(g, jnp.arange(0, h), axis=axis)
+        if exchanges is not None and axis in exchanges:
+            lo, hi = exchanges[axis](lo, hi, None)
         g = jnp.concatenate([lo, g, hi], axis=axis)
     return g
 

@@ -216,3 +216,88 @@ def make_sharded_lj_run(
         return _cache[ntimes](x, v, f, typ, valid)
 
     return run, sharding
+
+
+def make_sharded_eam_run(
+    geom: CellGeometry,
+    tables,
+    mesh: Mesh,
+    scales: ThermoScales,
+    *,
+    mass: float,
+    dt: float,
+    dtforce: float,
+    natoms: int,
+    neigh_every: int,
+    dtype=jnp.float32,
+):
+    """Sharded EAM run loop. The embedding-derivative halo between the two
+    force passes rides the same ppermute hooks as the position halo — the
+    reference's mid-force Comm::communicate of fp (force_eam.cpp:851-887),
+    which made L3 depend on L0 (SURVEY.md §1); here it is just a second
+    padded-grid fill inside the jitted step."""
+    from .comm import make_exchange_rebin
+    from ..ops.eam_grid import make_eam_force_grid
+
+    nb_local = local_grid_shape(geom, mesh)
+    lx, ly, lz = nb_local
+    dt_c = jnp.asarray(dt, dtype)
+    dtf_c = jnp.asarray(dtforce, dtype)
+    exchanges = _make_exchanges(mesh, geom.prd, dtype)
+    exchange_rebin = make_exchange_rebin(geom, mesh, dtype)
+    force_ev, _ = make_eam_force_grid(
+        geom, tables, dtype=dtype, nb_local=(lx, ly, lz), exchanges=exchanges)
+
+    spec = P(None, "z", "y", "x", None)
+    spec1 = P("z", "y", "x", None)
+    sharding = NamedSharding(mesh, spec)
+
+    def sharded_scan(x, v, f, typ, valid, ntimes: int):
+        gshape = x.shape
+
+        def reneigh(args):
+            x, v, typ, valid, ovf = args
+            xf, vf, tf, okf, o2 = exchange_rebin(
+                x.reshape(3, -1), v.reshape(3, -1),
+                typ.reshape(-1), valid.reshape(-1))
+            return (xf.reshape(gshape), vf.reshape(gshape),
+                    tf.reshape(gshape[1:]), okf.reshape(gshape[1:]),
+                    ovf + o2)
+
+        def body(carry, n):
+            x, v, f, typ, valid, ovf = carry
+            v = v + dtf_c * f
+            x = x + dt_c * v
+            x, v, typ, valid, ovf = jax.lax.cond(
+                (n + 1) % neigh_every == 0, reneigh, lambda a: a,
+                (x, v, typ, valid, ovf))
+            fg, eng, vir = force_ev(x.reshape(3, -1), None)
+            f = fg.reshape(gshape)
+            v = v + dtf_c * f
+            eng = jax.lax.psum(eng, ("z", "y", "x"))
+            vir = jax.lax.psum(vir, ("z", "y", "x"))
+            t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
+            u = eng * scales.e_scale / natoms
+            p = (t * scales.dof_boltz + vir) * scales.p_scale
+            return (x, v, f, typ, valid, ovf), jnp.stack([t, u, p])
+
+        ovf0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
+                + jax.lax.axis_index("x") * 0).astype(jnp.int32)
+        carry0 = (x, v, f, typ, valid, ovf0)
+        (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
+            body, carry0, jnp.arange(ntimes))
+        ovf = jax.lax.psum(ovf, ("z", "y", "x"))
+        return x, v, f, typ, valid, ovf, trace
+
+    _cache = {}
+
+    def run(x, v, f, typ, valid, ntimes: int):
+        if ntimes not in _cache:
+            _cache[ntimes] = jax.jit(jax.shard_map(
+                partial(sharded_scan, ntimes=ntimes), mesh=mesh,
+                in_specs=(spec, spec, spec, spec1, spec1),
+                out_specs=(spec, spec, spec, spec1, spec1, P(), P()),
+            ))
+        return _cache[ntimes](x, v, f, typ, valid)
+
+    return run, sharding

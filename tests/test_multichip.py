@@ -136,3 +136,60 @@ def test_sharded_full_run_with_migration(shared_system):
     assert int(np.asarray(okg).sum()) == natoms
     np.testing.assert_allclose(np.asarray(tr8)[:, 0], tr1[:, 0],
                                rtol=1e-13, atol=0)
+
+
+def test_sharded_eam_run_with_fp_halo(shared_system):
+    """Sharded EAM: the embedding-derivative halo between force passes
+    (the reference's mid-force communicate, force_eam.cpp:851-887) must
+    reproduce single-device dynamics across migrations."""
+    from minimd_tpu import cells, create
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.ops.eam import EAMTables
+    from minimd_tpu.ops.eam_grid import make_eam_force_grid
+    from minimd_tpu.parallel.step import make_sharded_eam_run
+    from minimd_tpu.state import init_state
+    from minimd_tpu.units import thermo_scales
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    inp = builtin_deck("eam")
+    nx = 12
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    tables = EAMTables.from_funcfl()
+    sc = thermo_scales(1, len(x), box.volume)
+    v = create.create_velocity(v, inp.t_request, len(x), tables.mass, sc.t_scale)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(6, 6, 6))
+    st = init_state(x, v, np.zeros(len(x), np.int32), geom, dtype=jnp.float64)
+    dtf = 0.5 * inp.dt / sc.mvv2e / tables.mass
+
+    force = make_eam_force_grid(geom, tables, dtype=jnp.float64)[0]
+    force_j = jax.jit(force)
+    f0 = force_j(st.x, st.typ)[0]
+    xx, vv, ff, tt = st.x, st.v, f0, st.typ
+    ts = []
+    for i in range(45):
+        vv = vv + dtf * ff
+        xx = xx + inp.dt * vv
+        if (i + 1) % inp.neigh_every == 0:
+            xx, vv, tt, _ = cells.rebin_lean(xx, vv, tt, geom)
+        ff, _, _ = force_j(xx, tt)
+        vv = vv + dtf * ff
+        ts.append(float(jnp.sum(vv * vv)) * tables.mass * sc.t_scale)
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
+    run, sharding = make_sharded_eam_run(
+        geom, tables, mesh, sc, mass=tables.mass, dt=inp.dt, dtforce=dtf,
+        natoms=len(x), neigh_every=inp.neigh_every, dtype=jnp.float64)
+    nbx, nby, nbz = geom.nb
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
+    sh1 = NamedSharding(mesh, P("z", "y", "x", None))
+    args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
+            for a in (st.x, st.v, f0)]
+    targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
+    varg = jax.device_put(np.asarray(st.valid).reshape(gs1), sh1)
+    *_, okg, ovf, tr8 = run(*args, targ, varg, 45)
+    assert int(ovf) == 0
+    assert int(np.asarray(okg).sum()) == len(x)
+    np.testing.assert_allclose(np.asarray(tr8)[:, 0], np.array(ts),
+                               rtol=1e-11, atol=0)
