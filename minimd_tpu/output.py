@@ -32,6 +32,40 @@ def conservation_ratio(rows) -> float:
     return e1 / e0 if e0 else float("nan")
 
 
+def _dist(name, arr):
+    """min/max/ave + 10-bin histogram (output.cpp:496-547 style)."""
+    arr = np.asarray(arr, dtype=float)
+    if arr.size == 0:
+        return {"min": 0, "max": 0, "ave": 0, "histogram": []}
+    lo, hi = float(arr.min()), float(arr.max())
+    hist, _ = np.histogram(arr, bins=10, range=(lo, hi if hi > lo else lo + 1))
+    return {"min": lo, "max": hi, "ave": float(arr.mean()),
+            "histogram": hist.tolist()}
+
+
+def run_statistics(sim) -> dict:
+    """Distribution statistics over the final state: cell occupancy and
+    neighbor counts (the reference's cross-rank stats, output.cpp:496-547,
+    recast over cells/atoms on the device mesh)."""
+    x = np.asarray(sim.state.x)
+    valid = np.asarray(sim.state.valid)
+    C = sim.geom.capacity
+    occ = valid.reshape(-1, C).sum(axis=1)
+    stats = {"cell_occupancy": _dist("occ", occ)}
+    try:
+        from scipy.spatial import cKDTree
+        prd = np.asarray(sim.geom.prd)
+        xw = np.mod(x.T[valid], prd)
+        t = cKDTree(xw, boxsize=prd)
+        cut = float(np.sqrt(sim.inp.force_cut ** 2))
+        counts = np.asarray(t.query_ball_point(
+            xw[:: max(1, len(xw) // 20000)], cut, return_length=True)) - 1
+        stats["neighbors_within_cutoff"] = _dist("nn", counts)
+    except Exception:
+        pass
+    return stats
+
+
 def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
                 screen=False) -> str:
     """Write the YAML run report (output.cpp:105-493)."""
@@ -83,6 +117,12 @@ def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
     a("performance:")
     if t_total > 0:
         a(f"  atom_steps_per_second: {sim.natoms * inp.ntimes / t_total:.1f}")
+    a("")
+    a("statistics:")
+    for name, vals in run_statistics(sim).items():
+        a(f"  {name}:")
+        for k, vv in vals.items():
+            a(f"    {k}: {vv}")
     text = "\n".join(lines) + "\n"
 
     if path is None:
