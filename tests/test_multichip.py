@@ -193,3 +193,24 @@ def test_sharded_eam_run_with_fp_halo(shared_system):
     assert int(np.asarray(okg).sum()) == len(x)
     np.testing.assert_allclose(np.asarray(tr8)[:, 0], np.array(ts),
                                rtol=1e-11, atol=0)
+
+
+def test_sharded_simulation_api():
+    """High-level multi-chip API: both force styles over an 8-device mesh."""
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.parallel import ShardedSimulation
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 16
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64)
+    assert dict(ssim.mesh.shape) == {"z": 2, "y": 2, "x": 2}
+    tr = ssim.run(40)
+    assert np.all(np.isfinite(tr))
+
+    # same physics as the single-device Simulation (bit-level temperature)
+    from minimd_tpu.sim import Simulation
+    sim = Simulation.from_input(inp, dtype=jnp.float64,
+                                nbins=ssim.geom.nb, backend="xla")
+    tr1 = sim.run(40)
+    np.testing.assert_allclose(tr[:, 0], tr1[:, 0], rtol=1e-12, atol=0)
