@@ -11,7 +11,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 
 from .config import FORCE_EAM, FORCE_LJ, UNITS_LJ, In, builtin_deck, parse_deck
 from .timer import TIME_TOTAL, Timer
