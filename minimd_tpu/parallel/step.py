@@ -65,6 +65,13 @@ def local_grid_shape(geom: CellGeometry, mesh: Mesh):
     px, py, pz = mesh.shape["x"], mesh.shape["y"], mesh.shape["z"]
     assert nbx % px == 0 and nby % py == 0 and nbz % pz == 0, (
         f"cell grid {geom.nb} not divisible by mesh {(px, py, pz)}")
+    # the halo exchange ships slabs to/from +-1 mesh neighbors only; a
+    # stencil reaching further than one cell (binsize < cutneigh) would
+    # need the reference's multi-hop swaps (comm.cpp need[]>1) — not yet
+    # implemented, so reject instead of silently computing wrong forces
+    assert halo_extent(geom) == 1, (
+        "sharded paths require binsize >= cutneigh (single-hop halos); "
+        f"stencil reach is {halo_extent(geom)} cells")
     return (nbx // px, nby // py, nbz // pz)
 
 
