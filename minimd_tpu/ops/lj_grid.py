@@ -71,14 +71,16 @@ def lj_pair_loop(Xp, Tp, nb_local, geom: CellGeometry, params: LJParams,
         mask = rsq < cutsq
         if off == (0, 0, 0):
             mask = mask & ~diag
-        sr2 = jnp.where(mask, 1.0, 0.0) / jnp.where(mask, rsq, 1.0)
+        # mask arithmetic: sr2 == 0 for masked pairs, downstream terms vanish
+        m = mask.astype(rsq.dtype)
+        sr2 = m / (rsq + (1.0 - m))
         sr6 = sr2 * sr2 * sr2 * sig6
         fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
         f[0] = f[0] + jnp.sum(fc * d0, axis=-1)
         f[1] = f[1] + jnp.sum(fc * d1, axis=-1)
         f[2] = f[2] + jnp.sum(fc * d2, axis=-1)
         if evflag:
-            eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * eps * mask)
+            eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * eps * m)
             vir = vir + jnp.sum(rsq * fc)
 
     return f, eng * 4.0, vir * 0.5

@@ -103,14 +103,17 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
                     mask = rsq < cutsq
                     if dz == 0 and dy == 0:
                         mask = mask & ~self_mask[None, :, :]
-                    sr2 = jnp.where(mask, 1.0, 0.0) / jnp.where(mask, rsq, 1.0)
+                    # mask arithmetic instead of selects: sr2 == 0 for
+                    # masked pairs, so sr6/fc/eng terms vanish on their own
+                    m = mask.astype(jnp.float32)
+                    sr2 = m / (rsq + (1.0 - m))
                     sr6 = sr2 * sr2 * sr2 * sig6
                     fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
                     facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
                     facc1 = facc1 + jnp.sum(fc * d1, axis=-1)
                     facc2 = facc2 + jnp.sum(fc * d2, axis=-1)
                     if evflag:
-                        eng = eng + jnp.sum(jnp.where(mask, sr6 * (sr6 - 1.0), 0.0))
+                        eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * m)
                         vir = vir + jnp.sum(rsq * fc)
 
             f_refs[0][0, yy] = facc0
