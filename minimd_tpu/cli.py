@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--capacity", type=int, default=None,
                    help="cell capacity override (default: data-driven)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="spatial decomposition over N devices "
+                        "(mesh by min-surface factorization)")
     p.add_argument("--timed", action="store_true",
                    help="interval-chunked run with phase timers "
                         "(slightly slower; reference Timer parity)")
@@ -149,6 +152,9 @@ def main(argv=None):
     dtype = jnp.float32 if args.precision == 1 else jnp.float64
     inp = load_input(args)
 
+    if args.devices > 1:
+        return main_sharded(args, inp, dtype)
+
     print("# Create System:")
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
     sim = Simulation.from_input(
@@ -202,3 +208,41 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def main_sharded(args, inp, dtype):
+    """Multi-device run path (spatial decomposition, parallel/)."""
+    import time
+
+    import jax
+
+    from .parallel import ShardedSimulation
+
+    devices = jax.devices()[: args.devices]
+    if len(devices) < args.devices:
+        print(f"ERROR: requested {args.devices} devices, "
+              f"have {len(jax.devices())}")
+        sys.exit(1)
+
+    print("# Create System (sharded):")
+    nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
+    ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
+                                        nbins=nbins)
+    print(f"# Done .... mesh={dict(ssim.mesh.shape)} "
+          f"cells={ssim.geom.nb} atoms={ssim.natoms}")
+    print("# Timestep T U P Time")
+    t0 = time.time()
+    trace = ssim.run(inp.ntimes)
+    t_total = time.time() - t0
+    nstat = inp.thermo_nstat
+    for n in range(len(trace)):
+        if nstat and (n + 1) % nstat == 0:
+            r = trace[n]
+            print(f"{n+1} {r[0]:e} {r[1]:e} {r[2]:e} {t_total:6.3f}")
+    if nstat and len(trace) % nstat != 0:
+        r = trace[-1]
+        print(f"{len(trace)} {r[0]:e} {r[1]:e} {r[2]:e} {t_total:6.3f}")
+    perf = ssim.natoms * inp.ntimes / t_total if t_total else 0.0
+    print("\n\n# Performance Summary:")
+    print(f"{args.devices} 1 {inp.ntimes} {ssim.natoms} {t_total:f} 0 0 0 0 "
+          f"{perf:f} {perf/args.devices:f} PERF_SUMMARY 0.000000\n")
