@@ -1,0 +1,46 @@
+"""CLI driver tests: flag surface, end-to-end runs, sharded path."""
+
+import io
+import contextlib
+
+import jax
+import pytest
+
+from minimd_tpu.cli import build_parser, main
+
+
+def _run(argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(argv)
+    return buf.getvalue()
+
+
+def test_parser_accepts_reference_command_lines():
+    # the reference harness's exact invocation shape (run_one_test:50)
+    p = build_parser()
+    a = p.parse_args(["-t", "4", "-s", "16", "-n", "100", "--half_neigh",
+                      "0", "-gn", "0", "--yaml_output", "0", "-dm",
+                      "-i", "in.lj.miniMD"])
+    assert a.size == 16 and a.nsteps == 100
+
+
+def test_cli_end_to_end_tiny():
+    out = _run(["-s", "6", "-n", "20", "--ntypes", "2"])
+    assert "# Timestep T U P Time" in out
+    assert "PERF_SUMMARY" in out
+    # step-0 row is the golden LJ value regardless of size (BASELINE.md)
+    assert "0 1.440000e+00" in out
+
+
+def test_cli_sharded_end_to_end():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = _run(["-s", "16", "-n", "20", "--devices", "8"])
+    assert "mesh={'z': 2, 'y': 2, 'x': 2}" in out
+    assert "PERF_SUMMARY" in out
+
+
+def test_cli_device_overcommit_errors():
+    with pytest.raises(SystemExit):
+        main(["-s", "16", "-n", "5", "--devices", "4096"])
