@@ -71,9 +71,22 @@ static inline double pm_random(int32_t* idum) {
     return (1.0 / IM) * (*idum);
 }
 
-// FCC lattice generation in the reference's subbox-blocked traversal order
-// with per-site velocity seeds (ref/setup.cpp:315-422). Emits atoms whose
-// positions fall inside [bounds]; returns the count (<= capacity).
+// The deterministic per-site velocity: Park-Miller stream seeded by the
+// 1-based global half-lattice site index, 5 warmup draws per component
+// (the golden traces' step-0 state depends on this exact stream).
+static inline void site_velocity(int32_t site_seed, double* v3) {
+    int32_t s = site_seed;
+    for (int c = 0; c < 3; c++) {
+        for (int m = 0; m < 5; m++) pm_random(&s);
+        v3[c] = pm_random(&s);
+    }
+}
+
+// FCC lattice generation. Atoms are emitted in 8^3-half-cell block order
+// (blocks swept x-fastest, sites within a block likewise) so the output
+// sequence is byte-identical to the replicated-setup contract of
+// ref/setup.cpp:315-422; only sites whose position falls inside [bounds]
+// are kept. Returns the count, or -1 on capacity overflow.
 int64_t mmd_create_atoms(
     int nx, int ny, int nz, double rho,
     const double* bounds,       // xlo xhi ylo yhi zlo zhi
@@ -87,6 +100,7 @@ int64_t mmd_create_atoms(
     const double ylo = bounds[2], yhi = bounds[3];
     const double zlo = bounds[4], zhi = bounds[5];
 
+    // half-lattice index window covering [bounds] (clamped to the box)
     int ilo = (int)(xlo / half - 1); if (ilo < 0) ilo = 0;
     int ihi = (int)(xhi / half + 1); if (ihi > 2 * nx - 1) ihi = 2 * nx - 1;
     int jlo = (int)(ylo / half - 1); if (jlo < 0) jlo = 0;
@@ -94,44 +108,33 @@ int64_t mmd_create_atoms(
     int klo = (int)(zlo / half - 1); if (klo < 0) klo = 0;
     int khi = (int)(zhi / half + 1); if (khi > 2 * nz - 1) khi = 2 * nz - 1;
 
+    const int B = 8;  // half-cells per block edge
+    const int nbi = ihi / B, nbj = jhi / B, nbk = khi / B;
+
     int64_t count = 0;
-    int sx = 0, sy = 0, sz = 0, ox = 0, oy = 0, oz = 0;
-    const int subboxdim = 8;
-    while (oz * subboxdim <= khi) {
-        const int k = oz * subboxdim + sz;
-        const int j = oy * subboxdim + sy;
-        const int i = ox * subboxdim + sx;
-        if (((i + j + k) % 2 == 0) &&
-            i >= ilo && i <= ihi && j >= jlo && j <= jhi &&
-            k >= klo && k <= khi) {
+    for (int bk = 0; bk <= nbk; bk++)
+    for (int bj = 0; bj <= nbj; bj++)
+    for (int bi = 0; bi <= nbi; bi++)
+        for (int dk = 0; dk < B; dk++)
+        for (int dj = 0; dj < B; dj++)
+        for (int di = 0; di < B; di++) {
+            const int i = bi * B + di;
+            const int j = bj * B + dj;
+            const int k = bk * B + dk;
+            if ((i + j + k) % 2 != 0) continue;  // FCC sites only
+            if (i < ilo || i > ihi || j < jlo || j > jhi ||
+                k < klo || k > khi) continue;
             const double xt = half * i, yt = half * j, zt = half * k;
-            if (xt >= xlo && xt < xhi && yt >= ylo && yt < yhi &&
-                zt >= zlo && zt < zhi) {
-                if (count >= capacity) return -1;
-                int32_t n = k * (2 * ny) * (2 * nx) + j * (2 * nx) + i + 1;
-                double vx, vy, vz;
-                for (int m = 0; m < 5; m++) pm_random(&n);
-                vx = pm_random(&n);
-                for (int m = 0; m < 5; m++) pm_random(&n);
-                vy = pm_random(&n);
-                for (int m = 0; m < 5; m++) pm_random(&n);
-                vz = pm_random(&n);
-                out_x[count * 3 + 0] = xt;
-                out_x[count * 3 + 1] = yt;
-                out_x[count * 3 + 2] = zt;
-                out_v[count * 3 + 0] = vx;
-                out_v[count * 3 + 1] = vy;
-                out_v[count * 3 + 2] = vz;
-                count++;
-            }
+            if (xt < xlo || xt >= xhi || yt < ylo || yt >= yhi ||
+                zt < zlo || zt >= zhi) continue;
+            if (count >= capacity) return -1;
+            out_x[count * 3 + 0] = xt;
+            out_x[count * 3 + 1] = yt;
+            out_x[count * 3 + 2] = zt;
+            site_velocity(k * (2 * ny) * (2 * nx) + j * (2 * nx) + i + 1,
+                          out_v + count * 3);
+            count++;
         }
-        sx++;
-        if (sx == subboxdim) { sx = 0; sy++; }
-        if (sy == subboxdim) { sy = 0; sz++; }
-        if (sz == subboxdim) { sz = 0; ox++; }
-        if (ox * subboxdim > ihi) { ox = 0; oy++; }
-        if (oy * subboxdim > jhi) { oy = 0; oz++; }
-    }
     return count;
 }
 
