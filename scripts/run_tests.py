@@ -31,27 +31,56 @@ def run_case(input_name, size, steps, precision, backend):
     from minimd_tpu.sim import Simulation
     from minimd_tpu.validate import compare_traces, parse_golden
 
-    golden_path = ROOT / "tests" / "golden" / f"{SIZES[size]}.{input_name}"
+    # "lj-data"/"eam-data": exercise the -f/--data_file init path
+    # (ref/setup.cpp:215-301). The reference's own 1m.data is distributed
+    # separately and not in-tree, so the data file is generated from the
+    # matching FCC deck state; the trace must then match the same golden
+    # log the builtin path matches (tests the reader end-to-end, including
+    # text round-trip of positions/velocities and mass).
+    style, _, via_data = input_name.partition("-")
+    golden_path = ROOT / "tests" / "golden" / f"{SIZES[size]}.{style}"
     if not golden_path.exists():
         return None, f"no golden log {golden_path.name}"
 
     golden = parse_golden(golden_path)
-    inp = builtin_deck(input_name)
+    inp = builtin_deck(style)
     inp.nx = inp.ny = inp.nz = size
     inp.thermo_nstat = 100
     dtype = jnp.float64 if precision == 8 else jnp.float32
+
+    if via_data:
+        import tempfile
+
+        from minimd_tpu import create
+        from minimd_tpu.lammps_data import write_lammps_data
+        from minimd_tpu.units import thermo_scales
+
+        mass = 1.0
+        if style == "eam":
+            from minimd_tpu.ops.eam import EAMTables
+            mass = EAMTables.from_funcfl(None).mass
+        box = create.create_box(size, size, size, inp.rho)
+        x, v = create.create_atoms(size, size, size, inp.rho, box)
+        sc = thermo_scales(inp.units, len(x), box.volume)
+        v = create.create_velocity(v, inp.t_request, len(x), mass, sc.t_scale)
+        tmp = tempfile.NamedTemporaryFile(suffix=".data", delete=False)
+        write_lammps_data(tmp.name, box, x, v, mass=mass)
+        inp.datafile = tmp.name
+
     sim = Simulation.from_input(inp, dtype=dtype, backend=backend)
     trace = sim.run(steps)
     rows = sim.thermo_trace(trace)
     res = compare_traces(rows, golden.rows, natoms=sim.natoms,
-                         system=input_name, precision=precision)
+                         system=style, precision=precision)
     return res, None
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scope", choices=["quick", "full"], default=None)
-    ap.add_argument("--input", choices=["lj", "eam"], default=None)
+    ap.add_argument("--scope", choices=["quick", "full", "large"],
+                    default=None)
+    ap.add_argument("--input",
+                    choices=["lj", "eam", "lj-data", "eam-data"], default=None)
     ap.add_argument("--size", type=int, default=10)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--tpu", action="store_true",
@@ -86,7 +115,20 @@ def main():
             # post-ramp samples; a 1000-step slice oversamples the tight
             # deterministic window and fails marginally even for faithful f64.
             cases = [("lj", 10, 10000), ("lj", 16, 500), ("lj", 20, 500),
-                     ("eam", 10, 500), ("eam", 16, 200)]
+                     ("eam", 10, 500), ("eam", 16, 200),
+                     ("lj-data", 16, 500), ("eam-data", 16, 200)]
+    elif args.scope == "large":
+        # The sizes the reference validates beyond the pytest sweep
+        # (256k = -s 40, 864k = -s 60). f64 on CPU runs at ~15 s/step at
+        # 256k, so these are a separate opt-in scope (~2-3 h total);
+        # thermo cadence is 100, so 200 steps yields 3 comparison rows
+        # in the deterministic early-trajectory window.
+        if args.tpu:
+            cases = [("lj", 40, 2000), ("lj", 60, 1000),
+                     ("eam", 40, 1000)]
+        else:
+            cases = [("lj", 40, 200), ("lj", 60, 200),
+                     ("eam", 40, 200), ("eam", 60, 200)]
     else:
         cases = [(args.input or "lj", args.size, args.steps)]
 
