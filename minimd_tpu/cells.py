@@ -101,7 +101,8 @@ def choose_grid(prd, cutneigh: float, nbins=None) -> tuple[int, int, int]:
     return tuple(int(max(1, np.floor(p / cutneigh))) for p in prd)
 
 
-def autotune_grid(prd, cutneigh: float, positions: np.ndarray):
+def autotune_grid(prd, cutneigh: float, positions: np.ndarray,
+                  solid: bool = False):
     """Pick the cell grid minimizing the dense-kernel cost model
     ncells * nstencil * C^2 over a few candidate resolutions.
 
@@ -125,7 +126,7 @@ def autotune_grid(prd, cutneigh: float, positions: np.ndarray):
         ids = _coords_to_cell_np(positions, prd, nbv, binsize, offs)
         ncells = int(nbv.prod())
         counts = np.bincount(ids, minlength=ncells)
-        cap = pick_capacity(counts, len(positions) / ncells)
+        cap = pick_capacity(counts, len(positions) / ncells, solid=solid)
         # cost = dense pair work including the VPU lane padding of the
         # Pallas kernel (the candidate lane block is 3*C rounded up to 128)
         lane = -(-3 * cap // 128) * 128
@@ -136,7 +137,7 @@ def autotune_grid(prd, cutneigh: float, positions: np.ndarray):
 
 
 def pick_capacity(counts: np.ndarray, mean_density_per_cell: float,
-                  nsamples: float = 4e6) -> int:
+                  nsamples: float = 4e6, solid: bool = False) -> int:
     """Cell capacity with headroom for density fluctuations over the run.
 
     Extreme-value model calibrated on the equilibrated LJ benchmark (cell
@@ -147,9 +148,20 @@ def pick_capacity(counts: np.ndarray, mean_density_per_cell: float,
     """
     mean = mean_density_per_cell
     base = int(counts.max())
-    sigma = np.sqrt(max(mean, 1.0) * 0.1)
-    expected_max = mean + sigma * np.sqrt(2.0 * np.log(nsamples))
-    cap = int(np.ceil(max(base + 4, expected_max + 2.0 * sigma)))
+    if solid and base == int(counts.min()):
+        # Perfectly uniform occupancy on a lattice-commensurate grid, and
+        # the caller vouches the system stays crystalline (the EAM deck's
+        # case: solid Cu at 600 K, cells an integer number of unit cells).
+        # Occupancy is then pinned by the lattice — vibrations move at most
+        # a few boundary atoms per cell — so the liquid fluctuation model
+        # below would over-allocate past the 3C <= 128 lane boundary and
+        # double the kernel cost. If the vouch is wrong the rebin overflow
+        # counter still fails the run loudly.
+        cap = base + max(4, base // 8)
+    else:
+        sigma = np.sqrt(max(mean, 1.0) * 0.1)
+        expected_max = mean + sigma * np.sqrt(2.0 * np.log(nsamples))
+        cap = int(np.ceil(max(base + 4, expected_max + 2.0 * sigma)))
     return ((cap + 7) // 8) * 8  # round to sublane multiple
 
 
@@ -184,11 +196,15 @@ def build_geometry(
     positions: np.ndarray,
     nbins=None,
     capacity: int | None = None,
+    solid: bool = False,
 ) -> CellGeometry:
-    """Construct the static cell geometry for a box and initial positions."""
+    """Construct the static cell geometry for a box and initial positions.
+
+    solid=True vouches the system stays crystalline (see pick_capacity) —
+    set by the EAM path, whose shipped decks are solid Cu."""
     prd = np.asarray(prd, dtype=np.float64)
     if nbins is None:
-        nb = autotune_grid(prd, cutneigh, positions)
+        nb = autotune_grid(prd, cutneigh, positions, solid=solid)
     else:
         nb = choose_grid(prd, cutneigh, nbins)
     nbx, nby, nbz = nb
@@ -211,7 +227,7 @@ def build_geometry(
         ids = _coords_to_cell_np(positions, prd, nbv, binsize, offset)
         counts = np.bincount(ids, minlength=ncells)
         mean_per_cell = len(positions) / ncells
-        capacity = pick_capacity(counts, mean_per_cell)
+        capacity = pick_capacity(counts, mean_per_cell, solid=solid)
 
     return CellGeometry(
         nb=(nbx, nby, nbz),

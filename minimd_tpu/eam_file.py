@@ -169,3 +169,121 @@ def fit_cheb(sp, n, delta, lo, hi, degree=28) -> ChebTable:
         deriv=tuple(float(c) for c in fit.deriv().coef),
         max_rel_err=err,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-to-f32 pair tables: polynomial body + exact spline tail (TPU fast path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PairPolys:
+    """Gather-free evaluation of the four pair-hot EAM functions, exact to
+    f32 rounding against the reference spline tables (force_eam.cpp:152-158).
+
+    Functions (the 1/r force factors are absorbed so the kernel needs no
+    reciprocal — fpair = -((fp_i + fp_j) * G1 + G2) directly):
+
+        R  (r) = rhor(r)                      density    (pass 1)
+        G1 (r) = rhor'(r) / r                 embedding force factor
+        G2 (r) = z2r'(r)/r^2 - z2r(r)/r^3     pair force factor
+        P  (r) = z2r(r)/r                     pair energy phi (evflag only)
+
+    Two-piece evaluation, selected per pair by r:
+
+      body  r in [lo, split):  degree-`degree` polynomial fit, Horner in the
+            scaled variable u = r*u_a + u_b in [-1, 1]. The fit is computed
+            in the Chebyshev basis and re-expanded to power form; for these
+            smooth functions at degree <=24 the scaled-variable power
+            coefficients stay O(1), so f32 Horner loses nothing (verified by
+            `max_err`, measured in f32).
+      tail  r in [split, cut]: the spline's own last rows, one low-degree
+            polynomial per knot interval refit in the local variable
+            t = r*rdr + 1 - m in [0, 1) (machine-exact: each row is a cubic
+            times smooth 1/r factors). The funcfl data truncates to zero at
+            the cutoff with a genuine C1 break there, which no global fit
+            can absorb — this tail IS the reference table, so the break is
+            reproduced exactly.
+
+    r < lo clamps to the body edge (no physical pairs there: the shipped
+    Cu deck never sees r < 2.3 even at 2x temperature; r >= cut is masked
+    by the caller).
+    """
+
+    lo: float
+    split: float
+    cut: float
+    rdr: float
+    u_a: float              # body variable map u = r*u_a + u_b
+    u_b: float
+    body: dict              # name -> descending power coeffs (floats)
+    m0: int                 # spline row of the first tail interval
+    nrows: int
+    tail: dict              # name -> tuple of per-row descending power coeffs
+    max_err: dict           # name -> max |fit - exact| / max|exact|, f32 eval
+
+
+def _horner_np(coeffs, x):
+    acc = np.full_like(x, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + c
+    return acc
+
+
+def build_pair_polys(tables, lo: float = 1.8, split: float = 4.92,
+                     degree: int = 20, tail_degree: int = 5) -> PairPolys:
+    """Fit the four pair functions of an EAMTables instance. `split` must
+    sit on a spline knot and leave the truncation kink (the last ~2 rows
+    before the cutoff) to the tail."""
+    nr, dr, cut = tables.nr, tables.dr, tables.cut
+    rdr = 1.0 / dr
+    rhor, z2r = tables.rhor_spline, tables.z2r_spline
+
+    fns = {
+        "R":  lambda r: _spline_value(rhor, nr, dr, r),
+        "G1": lambda r: _spline_deriv(rhor, nr, dr, r) / r,
+        "G2": lambda r: (_spline_deriv(z2r, nr, dr, r) / r ** 2
+                         - _spline_value(z2r, nr, dr, r) / r ** 3),
+        "P":  lambda r: _spline_value(z2r, nr, dr, r) / r,
+    }
+
+    u_a = 2.0 / (split - lo)
+    u_b = -(split + lo) / (split - lo)
+    m0 = int(split * rdr + 1.0 + 0.5)       # split is knot-aligned
+    assert abs((m0 - 1) * dr - split) < 1e-9, "split must be a spline knot"
+    nrows = int(cut * rdr + 1.0) - m0 + 1   # rows covering [split, cut]
+
+    body, tail, max_err = {}, {}, {}
+    xs = np.linspace(lo, split, 200001)
+    u = (xs * u_a + u_b).astype(np.float32)
+    for name, fn in fns.items():
+        ys = fn(xs)
+        fit = np.polynomial.chebyshev.Chebyshev.fit(xs, ys, degree,
+                                                    domain=[lo, split])
+        power = np.polynomial.polynomial.Polynomial.cast(
+            np.polynomial.chebyshev.Chebyshev(fit.coef))  # in u, ascending
+        coeffs = tuple(float(c) for c in power.coef[::-1])
+        body[name] = coeffs
+        got = _horner_np(np.asarray(coeffs, np.float32), u).astype(np.float64)
+        scale = max(np.abs(ys).max(), 1e-300)
+        err = np.abs(got - ys).max() / scale
+
+        rows = []
+        for k in range(nrows):
+            r0, r1 = (m0 + k - 1) * dr, (m0 + k) * dr
+            rs = np.linspace(r0, min(r1, cut), 2001)
+            t = rs * rdr + 1.0 - (m0 + k)
+            yr = fn(rs)
+            rfit = np.polynomial.polynomial.Polynomial.fit(
+                t, yr, tail_degree, domain=[0.0, 1.0], window=[0.0, 1.0])
+            rc = tuple(float(c) for c in rfit.coef[::-1])
+            rows.append(rc)
+            got = _horner_np(np.asarray(rc, np.float32),
+                             t.astype(np.float32)).astype(np.float64)
+            err = max(err, np.abs(got - yr).max() / scale)
+        tail[name] = tuple(rows)
+        max_err[name] = float(err)
+
+    return PairPolys(lo=float(lo), split=float(split), cut=float(cut),
+                     rdr=float(rdr), u_a=float(u_a), u_b=float(u_b),
+                     body=body, m0=m0, nrows=nrows, tail=tail,
+                     max_err=max_err)

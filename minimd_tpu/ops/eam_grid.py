@@ -5,18 +5,18 @@ the reference's two-pass EAM algorithm (ref/force_eam.cpp:274-449):
 
   pass 1: rho_i = sum_j rhor(r_ij); fp_i = F'(rho_i); embed energy F(rho_i)
   [fp halo exchange hook between the passes — force_eam.cpp:851-887]
-  pass 2: fpair = -(fp_i*rho' + fp_j*rho' + phi') / r,  phi = z2(r)/r
+  pass 2: fpair = -((fp_i + fp_j) * G1(r) + G2(r)),  G1 = rhor'/r,
+          G2 = z2r'/r^2 - z2r/r^3  (the spline force terms with the 1/r
+          factors absorbed, so the kernel needs no reciprocal)
 
-Table strategy: the two *pair-hot* functions (rhor, z2r) are evaluated as
-global Chebyshev fits via Clenshaw recurrence — lane-uniform scalar
-coefficients, zero gathers, forces taken as the exact derivative of the
-fitted values (energy/force consistent). Fit error is ~1e-6 relative
-(reported in ChebTable.max_rel_err), i.e. at f32 rounding scale: runs are
-statistically indistinguishable from the exact tables under the
-reference's own acceptance criterion. The per-ATOM embedding function
-F(rho) stays bit-exact (spline-row gather over M atoms — cheap).
+Table strategy (eam_file.build_pair_polys): gather-free polynomial body +
+the spline's own last rows as an exact tail — evaluation error is at f32
+rounding scale against the reference spline lookup (force_eam.cpp:152-158),
+so f32 runs behave like the reference's own single-precision build. The
+per-ATOM embedding function F(rho) stays a bit-exact spline-row gather
+(cheap: M atoms, not M*neighbors pairs).
 
-For exact-table validation (f64, CPU) use ops/eam.py.
+For exact-table f64 validation (CPU) use ops/eam.py.
 """
 
 from __future__ import annotations
@@ -26,33 +26,38 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cells import CellGeometry, _SENTINEL_BASE
-from ..eam_file import ChebTable, fit_cheb
+from ..eam_file import PairPolys, build_pair_polys
 from .eam import EAMTables
 from .pairgrid import halo_extent, pad_grid_int, stencil_slice, to_padded_soa
 
-_RMIN = 1.2  # Cu pairs never get this close below ~2000 K; args are clamped
+
+def horner(x, coeffs):
+    """Descending-power polynomial evaluation; coeffs are python floats
+    (lane-uniform), loop unrolls at trace time."""
+    acc = jnp.zeros_like(x) + coeffs[0]
+    for c in coeffs[1:]:
+        acc = acc * x + c
+    return acc
 
 
-def clenshaw(u, coeffs):
-    """Chebyshev series evaluation; coeffs are python floats (lane-uniform),
-    loop unrolls at trace time."""
-    b1 = jnp.zeros_like(u)
-    b2 = jnp.zeros_like(u)
-    for c in coeffs[:0:-1]:
-        b1, b2 = c + 2.0 * u * b1 - b2, b1
-    return coeffs[0] + u * b1 - b2
-
-
-def build_cheb_tables(tables: EAMTables, degree: int | None = None):
-    """Per-function degrees chosen for <=1e-6 relative fit error
-    (z2r is much smoother than rhor)."""
-    d_rhor = degree or 20
-    d_z2r = degree or 16
-    rhor = fit_cheb(tables.rhor_spline, tables.nr, tables.dr,
-                    _RMIN, tables.cut, d_rhor)
-    z2r = fit_cheb(tables.z2r_spline, tables.nr, tables.dr,
-                   _RMIN, tables.cut, d_z2r)
-    return rhor, z2r
+def eval_pair_fns(r, polys: PairPolys, names):
+    """Evaluate pair functions at r (any-shaped array; out-of-range lanes —
+    masked sentinels, r < lo — are clamped to the nearest valid value, never
+    NaN/Inf). Returns {name: values}."""
+    u = jnp.clip(r * polys.u_a + polys.u_b, -1.0, 1.0)
+    # tail local coordinate: t in [0, nrows); row k covers t in [k, k+1)
+    t = jnp.clip(r, polys.split, polys.cut) * polys.rdr + (1.0 - polys.m0)
+    in_tail = r >= polys.split
+    sels = [t < float(k + 1) for k in range(polys.nrows - 1)]
+    out = {}
+    for name in names:
+        val = horner(u, polys.body[name])
+        tv = horner(t - float(polys.nrows - 1), polys.tail[name][-1])
+        for k in range(polys.nrows - 2, -1, -1):
+            tv = jnp.where(sels[k], horner(t - float(k), polys.tail[name][k]),
+                           tv)
+        out[name] = jnp.where(in_tail, tv, val)
+    return out
 
 
 def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
@@ -73,18 +78,12 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
     offsets = [tuple(int(v) for v in o) for o in geom.stencil]
     diag = jnp.eye(C, dtype=bool)
 
-    cheb_rhor, cheb_z2r = build_cheb_tables(tables, degree)
+    polys = build_pair_polys(tables, degree=degree or 20)
     cutsq = tables.cut * tables.cut
-    lo, hi = cheb_rhor.lo, cheb_rhor.hi
-    u_a = 2.0 / (hi - lo)
-    u_b = -(hi + lo) / (hi - lo)
 
     frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
     rdrho = 1.0 / tables.drho
     nrho = tables.nrho
-
-    def u_of_r(r):
-        return jnp.clip(r * u_a + u_b, -1.0, 1.0)
 
     def pair_r(Xi, Xp, off):
         Yd = [stencil_slice(g, off, h, nb_loc) for g in Xp]
@@ -122,7 +121,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
         rho = jnp.zeros((nbz, nby, nbx, C), dtype)
         for off in offsets:
             _, _, r, mask = pair_r(Xi, Xp, off)
-            val = clenshaw(u_of_r(r), cheb_rhor.coeffs)
+            val = eval_pair_fns(r, polys, ("R",))["R"]
             rho = rho + jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
 
         fp, embed_eng = embedding(rho.reshape(M_loc), valid, evflag)
@@ -137,23 +136,18 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
         f = [jnp.zeros((nbz, nby, nbx, C), dtype) for _ in range(3)]
         eng = jnp.zeros((), dtype)
         vir = jnp.zeros((), dtype)
+        names = ("G1", "G2", "P") if evflag else ("G1", "G2")
         for off in offsets:
             (d0, d1, d2), rsq, r, mask = pair_r(Xi, Xp, off)
-            u = u_of_r(r)
-            rhoip = clenshaw(u, cheb_rhor.deriv)
-            z2p = clenshaw(u, cheb_z2r.deriv)
-            z2 = clenshaw(u, cheb_z2r.coeffs)
-            recip = 1.0 / r
-            phi = z2 * recip
-            phip = z2p * recip - phi * recip
+            g = eval_pair_fns(r, polys, names)
             fp_j = stencil_slice(fp_pad, off, h, nb_loc)
-            psip = (fp_i[..., :, None] + fp_j[..., None, :]) * rhoip + phip
-            fpair = jnp.where(mask, -psip * recip, 0.0)
+            psip = (fp_i[..., :, None] + fp_j[..., None, :]) * g["G1"] + g["G2"]
+            fpair = jnp.where(mask, -psip, 0.0)
             f[0] = f[0] + jnp.sum(fpair * d0, axis=-1)
             f[1] = f[1] + jnp.sum(fpair * d1, axis=-1)
             f[2] = f[2] + jnp.sum(fpair * d2, axis=-1)
             if evflag:
-                eng = eng + jnp.sum(jnp.where(mask, phi, 0.0))
+                eng = eng + jnp.sum(jnp.where(mask, g["P"], 0.0))
                 vir = vir + 0.5 * jnp.sum(rsq * fpair)
 
         fout = jnp.stack([fd.reshape(M_loc) for fd in f], axis=0)

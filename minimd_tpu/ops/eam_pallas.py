@@ -1,10 +1,15 @@
 """Pallas TPU kernels for the EAM cell-grid force (two passes).
 
-Same lane-packed layout as the LJ kernel (ops/lj_pallas.py): per cell row,
-candidates are packed [dx=-1 | dx=0 | dx=+1] into the 128-lane axis, with
-z-slab BlockSpec pipelining. The pair-hot spline tables are evaluated as
-Chebyshev fits via in-kernel Clenshaw recurrence (lane-uniform scalar
-coefficients — zero gathers; see ops/eam_grid.py for the accuracy story).
+Same lane-packed layout and per-row pipelining as the LJ kernel
+(ops/lj_pallas.py): per cell row (z, y), candidates are packed
+[dx=-1 | dx=0 | dx=+1] into the 128-lane axis, and each program binds the
+nine (dz, dy)-shifted single-row views of the packed arrays — VMEM holds a
+few rows, not the whole box, at any system size.
+
+Pair tables are the exact-to-f32 polynomial-body + spline-tail scheme
+(eam_file.build_pair_polys, evaluated by eam_grid.eval_pair_fns): Horner on
+lane-uniform scalar coefficients, zero gathers, with the 1/r force factors
+absorbed so the kernel needs no reciprocal.
 
 Pass 1 computes per-atom densities; the embedding derivative fp is
 evaluated bit-exactly between the passes (per-atom spline gather in XLA,
@@ -24,8 +29,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..cells import CellGeometry, _SENTINEL_BASE
+from ..eam_file import build_pair_polys
 from .eam import EAMTables
-from .eam_grid import build_cheb_tables, clenshaw
+from .eam_grid import eval_pair_fns
 from .pairgrid import halo_extent, pad_grid_int, to_padded_soa
 
 _BIG = 5.0e5
@@ -49,11 +55,8 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
     Yp = nby + 2
     LANE = _round_up(3 * C, 128)
 
-    cheb_rhor, cheb_z2r = build_cheb_tables(tables, degree)
+    polys = build_pair_polys(tables, degree=degree or 20)
     cutsq = float(tables.cut ** 2)
-    lo, hi = cheb_rhor.lo, cheb_rhor.hi
-    u_a = 2.0 / (hi - lo)
-    u_b = -(hi + lo) / (hi - lo)
 
     frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
     rdrho = 1.0 / tables.drho
@@ -64,75 +67,70 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
         return (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
 
-    def pair_terms(j_refs, xi, y, dz, dy):
-        yy = y + 1 + dy
-        j0 = j_refs[0 * 3 + dz + 1][0, yy][:, None, :]
-        j1 = j_refs[1 * 3 + dz + 1][0, yy][:, None, :]
-        j2 = j_refs[2 * 3 + dz + 1][0, yy][:, None, :]
-        d0 = xi[0][:, :, None] - j0
+    def pair_r(j_refs, xi, dz, dy):
+        k = (dz + 1) * 3 + (dy + 1)
+        j0 = j_refs[0 * 9 + k][0, 0][:, None, :]   # (nbx, 1, LANE)
+        j1 = j_refs[1 * 9 + k][0, 0][:, None, :]
+        j2 = j_refs[2 * 9 + k][0, 0][:, None, :]
+        d0 = xi[0][:, :, None] - j0                # (nbx, C, LANE)
         d1 = xi[1][:, :, None] - j1
         d2 = xi[2][:, :, None] - j2
         rsq = d0 * d0 + d1 * d1 + d2 * d2
         mask = rsq < cutsq
         if dz == 0 and dy == 0:
             mask = mask & ~self_mask_2d()[None, :, :]
-        r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
-        u = jnp.clip(r * u_a + u_b, -1.0, 1.0)
-        return (d0, d1, d2), rsq, r, u, mask
+        m = mask.astype(jnp.float32)
+        r = jnp.sqrt(rsq * m + (1.0 - m))          # masked lanes -> r = 1
+        return (d0, d1, d2), rsq, r, m
 
     # ------------------------------------------------------------------
     # pass 1: rho
     # ------------------------------------------------------------------
     def rho_kernel(*refs):
-        j_refs = refs[0:9]
-        xi_refs = refs[9:12]
-        rho_ref = refs[12]
-        y = pl.program_id(1)
+        j_refs = refs[0:27]
+        xi_refs = refs[27:30]
+        rho_ref = refs[30]
         xi = [xr[0, 0] for xr in xi_refs]
         rho = jnp.zeros((nbx, C), jnp.float32)
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                _, _, _, u, mask = pair_terms(j_refs, xi, y, dz, dy)
-                val = clenshaw(u, cheb_rhor.coeffs)
-                rho = rho + jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
+                _, _, r, m = pair_r(j_refs, xi, dz, dy)
+                val = eval_pair_fns(r, polys, ("R",))["R"]
+                rho = rho + jnp.sum(val * m, axis=-1)
         rho_ref[0, 0] = rho
 
     # ------------------------------------------------------------------
     # pass 2: forces (needs fp of i and of candidates)
     # ------------------------------------------------------------------
     def force_kernel(*refs, evflag: bool):
-        j_refs = refs[0:9]
-        fp_refs = refs[9:12]     # lane-packed fp slabs at dz=-1,0,+1
-        xi_refs = refs[12:15]
-        fpi_ref = refs[15]       # (1,1,nbx,C) own fp
-        f_refs = refs[16:19]
-        eng_ref, vir_ref = refs[19], refs[20]
+        j_refs = refs[0:27]
+        fp_refs = refs[27:36]    # lane-packed fp rows, (dz, dy) views
+        xi_refs = refs[36:39]
+        fpi_ref = refs[39]       # (1, 1, nbx, C) own fp
+        f_refs = refs[40:43]
+        eng_ref, vir_ref = refs[43], refs[44]
 
-        y = pl.program_id(1)
         xi = [xr[0, 0] for xr in xi_refs]
         fp_i = fpi_ref[0, 0]                    # (nbx, C)
 
         facc = [jnp.zeros((nbx, C), jnp.float32) for _ in range(3)]
         eng = jnp.zeros((), jnp.float32)
         vir = jnp.zeros((), jnp.float32)
+        names = ("G1", "G2", "P") if evflag else ("G1", "G2")
 
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                (d0, d1, d2), rsq, r, u, mask = pair_terms(j_refs, xi, y, dz, dy)
-                rhoip = clenshaw(u, cheb_rhor.deriv)
-                z2p = clenshaw(u, cheb_z2r.deriv)
-                z2 = clenshaw(u, cheb_z2r.coeffs)
-                recip = 1.0 / r
-                phi = z2 * recip
-                phip = z2p * recip - phi * recip
-                fp_j = fp_refs[dz + 1][0, y + 1 + dy][:, None, :]  # (nbx,1,LANE)
-                psip = (fp_i[:, :, None] + fp_j) * rhoip + phip
-                fpair = jnp.where(mask, -psip * recip, 0.0)
+                (d0, d1, d2), rsq, r, m = pair_r(j_refs, xi, dz, dy)
+                g = eval_pair_fns(r, polys, names)
+                k = (dz + 1) * 3 + (dy + 1)
+                fp_j = fp_refs[k][0, 0][:, None, :]       # (nbx, 1, LANE)
+                psip = (fp_i[:, :, None] + fp_j) * g["G1"] + g["G2"]
+                fpair = -psip * m
                 facc[0] = facc[0] + jnp.sum(fpair * d0, axis=-1)
                 facc[1] = facc[1] + jnp.sum(fpair * d1, axis=-1)
                 facc[2] = facc[2] + jnp.sum(fpair * d2, axis=-1)
                 if evflag:
-                    eng = eng + jnp.sum(jnp.where(mask, phi, 0.0))
+                    eng = eng + jnp.sum(g["P"] * m)
                     vir = vir + 0.5 * jnp.sum(rsq * fpair)
 
         for i in range(3):
@@ -170,20 +168,16 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             return fp, jnp.sum(jnp.where(valid, emb, 0.0))
         return fp, jnp.zeros((), dtype)
 
-    def j_specs():
+    # nine (dz, dy)-offset single-row views per packed array: VMEM stays
+    # constant at any system size (same trick as lj_pallas)
+    def view_specs(n_coords):
         return [
-            pl.BlockSpec((1, Yp, nbx, LANE),
-                         functools.partial(lambda dz, z, y: (z + dz, 0, 0, 0), dz),
+            pl.BlockSpec((1, 1, nbx, LANE),
+                         functools.partial(
+                             lambda dz, dy, z, y: (z + dz, y + dy, 0, 0),
+                             dz, dy),
                          memory_space=pltpu.VMEM)
-            for _c in range(3) for dz in (0, 1, 2)
-        ]
-
-    def fp_specs():
-        return [
-            pl.BlockSpec((1, Yp, nbx, LANE),
-                         functools.partial(lambda dz, z, y: (z + dz, 0, 0, 0), dz),
-                         memory_space=pltpu.VMEM)
-            for dz in (0, 1, 2)
+            for _c in range(n_coords) for dz in (0, 1, 2) for dy in (0, 1, 2)
         ]
 
     row_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
@@ -194,7 +188,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
     rho_call = pl.pallas_call(
         rho_kernel,
         grid=(nbz, nby),
-        in_specs=j_specs() + [row_spec] * 3,
+        in_specs=view_specs(3) + [row_spec] * 3,
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -205,7 +199,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
         force_call = pl.pallas_call(
             functools.partial(force_kernel, evflag=evflag),
             grid=(nbz, nby),
-            in_specs=j_specs() + fp_specs() + [row_spec] * 4,
+            in_specs=view_specs(3) + view_specs(1) + [row_spec] * 4,
             out_specs=(row_spec, row_spec, row_spec, s_spec, s_spec),
             out_shape=(
                 *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),) * 3,
@@ -222,7 +216,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             Xp = to_padded_soa(x, geom, h)
             J = [pack_lanes(g) for g in Xp]
             Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
-            jargs = [J[c] for c in range(3) for _dz in range(3)]
+            jargs = [J[c] for c in range(3) for _off in range(9)]
 
             rho = rho_call(*jargs, *Xi)
             valid = x[0] < 0.5 * _SENTINEL_BASE
@@ -232,7 +226,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             fp_i = fp.reshape(nbz, nby, nbx, C)
 
             f0, f1, f2, eng, vir = force_call(
-                *jargs, FP, FP, FP, *Xi, fp_i)
+                *jargs, *([FP] * 9), *Xi, fp_i)
             f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
                           axis=0)
             eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))

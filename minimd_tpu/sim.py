@@ -112,8 +112,13 @@ class Simulation:
             raise ValueError(f"unknown forcetype {inp.forcetype}")
 
         cutneigh = inp.neigh_cut if inp.datafile is None else inp.neigh_cut
+        # The shipped EAM decks are solid Cu (600 K start, cooling): vouch
+        # crystallinity so commensurate grids get lattice-tight capacity
+        # (cells.pick_capacity). Wrong vouches fail loudly via the rebin
+        # overflow counter.
+        solid = inp.forcetype == FORCE_EAM and inp.datafile is None
         geom = cells.build_geometry(box.prd, cutneigh, x_np, nbins=nbins,
-                                    capacity=capacity)
+                                    capacity=capacity, solid=solid)
         scales = thermo_scales(inp.units, natoms, box.volume)
 
         # COM-zero + rescale velocities to t_request (setup.cpp:454-494);

@@ -139,18 +139,6 @@ def main():
         if skip:
             print(f"SKIP   {tag}: {skip}")
             continue
-        if input_name == "eam" and precision == 4 and not res.passed:
-            # Known limitation, documented in ops/eam_grid.py: the f32 TPU
-            # EAM path uses Chebyshev-compressed pair tables whose ~1e-6
-            # potential perturbation decorrelates trajectories from the
-            # golden ones faster than the criterion's envelopes admit.
-            # Thermo averages track golden within ~5e-6 relative with no
-            # drift; the criterion itself is passed by the exact-table
-            # f64 path (run without --tpu).
-            print(f"XFAIL  {tag}: {res} — expected for the f32 Chebyshev "
-                  "EAM path; energies track golden to ~5e-6 rel (see "
-                  "ops/eam_grid.py)")
-            continue
         print(f"{'PASS' if res.passed else 'FAIL':6} {tag}: {res}")
         failed += not res.passed
     sys.exit(1 if failed else 0)
