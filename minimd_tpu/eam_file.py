@@ -229,14 +229,39 @@ def _horner_np(coeffs, x):
     return acc
 
 
-def build_pair_polys(tables, lo: float = 1.8, split: float = 4.92,
-                     degree: int = 20, tail_degree: int = 5) -> PairPolys:
+# Starting body degrees per function (measured minimal for Cu_u3) and the
+# f64 fit tolerances the adaptive loop raises them toward. The tolerances
+# are propagation-aware: R feeds rho -> fp = F'(rho) where errors amplify
+# ~100x into forces, so it must sit far below f32 rounding; G1/G2 fit
+# error concentrates at the body's upper edge where the r-weighting in
+# fpair*d amplifies it ~2x, and dropping them to 18 measurably blows the
+# grid-vs-exact force error from 2.8e-7 to 2.4e-6 of force scale despite a
+# near-identical max fit error — so they stay at 20. P errors add
+# coherently over all pairs in the potential-energy sum, so it needs the
+# same tight tolerance (and only runs on evflag/thermo steps anyway).
+_DEFAULT_DEGREE = {"R": 20, "G1": 20, "G2": 20, "P": 20}
+_BODY_TOL = {"R": 5e-9, "G1": 1e-6, "G2": 2e-7, "P": 2e-9}
+_MAX_DEGREE = 24
+
+
+def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
+                     degree=None, tail_degree: int = 3) -> PairPolys:
     """Fit the four pair functions of an EAMTables instance. `split` must
     sit on a spline knot and leave the truncation kink (the last ~2 rows
-    before the cutoff) to the tail."""
+    before the cutoff) to the tail; None picks the knot two rows before the
+    cutoff. `degree` is an int (all functions) or a {name: int} dict of
+    starting degrees, raised adaptively until the f32 fit error is at
+    rounding scale (so the kernel spends the minimum Horner ops the
+    potential file allows)."""
     nr, dr, cut = tables.nr, tables.dr, tables.cut
     rdr = 1.0 / dr
     rhor, z2r = tables.rhor_spline, tables.z2r_spline
+    if split is None:
+        split = (int(cut * rdr + 1.0) - 2) * dr
+    if degree is None:
+        degree = dict(_DEFAULT_DEGREE)
+    elif isinstance(degree, int):
+        degree = {name: degree for name in _DEFAULT_DEGREE}
 
     fns = {
         "R":  lambda r: _spline_value(rhor, nr, dr, r),
@@ -254,17 +279,33 @@ def build_pair_polys(tables, lo: float = 1.8, split: float = 4.92,
 
     body, tail, max_err = {}, {}, {}
     xs = np.linspace(lo, split, 200001)
-    u = (xs * u_a + u_b).astype(np.float32)
+    u64 = xs * u_a + u_b
+    u32 = u64.astype(np.float32)
     for name, fn in fns.items():
         ys = fn(xs)
-        fit = np.polynomial.chebyshev.Chebyshev.fit(xs, ys, degree,
-                                                    domain=[lo, split])
-        power = np.polynomial.polynomial.Polynomial.cast(
-            np.polynomial.chebyshev.Chebyshev(fit.coef))  # in u, ascending
-        coeffs = tuple(float(c) for c in power.coef[::-1])
-        body[name] = coeffs
-        got = _horner_np(np.asarray(coeffs, np.float32), u).astype(np.float64)
         scale = max(np.abs(ys).max(), 1e-300)
+        prev = np.inf
+        stale = 0
+        for deg in range(degree[name], _MAX_DEGREE + 1):
+            fit = np.polynomial.chebyshev.Chebyshev.fit(xs, ys, deg,
+                                                        domain=[lo, split])
+            power = np.polynomial.polynomial.Polynomial.cast(
+                np.polynomial.chebyshev.Chebyshev(fit.coef))  # u, ascending
+            coeffs = tuple(float(c) for c in power.coef[::-1])
+            # adaptive criterion is the true (f64) fit error: the f32 kernel
+            # adds its own rounding on top regardless of degree
+            err64 = np.abs(_horner_np(np.asarray(coeffs), u64) - ys).max() \
+                / scale
+            if err64 <= _BODY_TOL[name]:
+                break
+            stale = stale + 1 if err64 > 0.5 * prev else 0
+            if stale >= 2:      # fit floor (spline roughness), stop paying
+                break
+            prev = err64
+        body[name] = coeffs
+        # reported error is what the f32 kernel sees (fit + rounding)
+        got = _horner_np(np.asarray(coeffs, np.float32),
+                         u32).astype(np.float64)
         err = np.abs(got - ys).max() / scale
 
         rows = []

@@ -45,8 +45,11 @@ def eval_pair_fns(r, polys: PairPolys, names):
     masked sentinels, r < lo — are clamped to the nearest valid value, never
     NaN/Inf). Returns {name: values}."""
     u = jnp.clip(r * polys.u_a + polys.u_b, -1.0, 1.0)
-    # tail local coordinate: t in [0, nrows); row k covers t in [k, k+1)
-    t = jnp.clip(r, polys.split, polys.cut) * polys.rdr + (1.0 - polys.m0)
+    # tail local coordinate: t in [0, nrows); row k covers t in [k, k+1).
+    # Only the upper clamp is load-bearing (sentinel r would overflow the
+    # row polynomials); r < split gives garbage-but-finite t values that
+    # the in_tail select discards.
+    t = jnp.minimum(r, polys.cut) * polys.rdr + (1.0 - polys.m0)
     in_tail = r >= polys.split
     sels = [t < float(k + 1) for k in range(polys.nrows - 1)]
     out = {}
@@ -78,7 +81,7 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
     offsets = [tuple(int(v) for v in o) for o in geom.stencil]
     diag = jnp.eye(C, dtype=bool)
 
-    polys = build_pair_polys(tables, degree=degree or 20)
+    polys = build_pair_polys(tables, degree=degree)
     cutsq = tables.cut * tables.cut
 
     frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
@@ -94,7 +97,9 @@ def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
         mask = rsq < cutsq
         if off == (0, 0, 0):
             mask = mask & ~diag
-        r = jnp.sqrt(jnp.where(mask, rsq, 1.0))
+        # no masking blend: sentinels are >=1e3 apart (cells.py) so masked
+        # rsq is large-but-finite and the eval clamps keep polys bounded
+        r = jnp.sqrt(rsq)
         return (d0, d1, d2), rsq, r, mask
 
     def embedding(rho, valid, evflag):

@@ -55,7 +55,7 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
     Yp = nby + 2
     LANE = _round_up(3 * C, 128)
 
-    polys = build_pair_polys(tables, degree=degree or 20)
+    polys = build_pair_polys(tables, degree=degree)
     cutsq = float(tables.cut ** 2)
 
     frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
@@ -80,7 +80,9 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
         if dz == 0 and dy == 0:
             mask = mask & ~self_mask_2d()[None, :, :]
         m = mask.astype(jnp.float32)
-        r = jnp.sqrt(rsq * m + (1.0 - m))          # masked lanes -> r = 1
+        # no masking blend: sentinels are >=1e3 apart (cells.py) so masked
+        # rsq is large-but-finite and the eval clamps keep polys bounded
+        r = jnp.sqrt(rsq)
         return (d0, d1, d2), rsq, r, m
 
     # ------------------------------------------------------------------
