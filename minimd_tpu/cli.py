@@ -72,7 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_gpu", type=int, default=-1, help="[no-op]")
     p.add_argument("--check_exchange", action="store_true")
     p.add_argument("--safe_exchange", action="store_true",
-                   help="[no-op] migration is always capacity-checked")
+                   help="multi-hop atom migration (place atoms arriving "
+                        "from any device, ref comm.cpp:599-689); migration "
+                        "is always capacity-checked either way")
     return p
 
 
@@ -227,7 +229,8 @@ def main_sharded(args, inp, dtype):
     print("# Create System (sharded):")
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
-                                        nbins=nbins)
+                                        nbins=nbins,
+                                        safe_exchange=args.safe_exchange)
     print(f"# Done .... mesh={dict(ssim.mesh.shape)} "
           f"cells={ssim.geom.nb} atoms={ssim.natoms}")
     print("# Timestep T U P Time")

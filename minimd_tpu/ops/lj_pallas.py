@@ -42,7 +42,8 @@ def _round_up(n, m):
 
 
 def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
-                         dtype=jnp.float32, interpret: bool = False):
+                         dtype=jnp.float32, interpret: bool = False,
+                         yb: int | None = None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial)."""
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"
@@ -58,10 +59,12 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
     eps = float(params.epsilon[0])
     sig6 = float(params.sigma6[0])
 
-    # One y-row per program measured fastest: many small programs pipeline
-    # the (nbx, LANE) row DMAs better than fewer big-block programs
-    # (y-blocked variants were 1.3-1.6x slower at 131k).
-    YB = 1
+    # One y-row per program measured fastest at 131k: many small programs
+    # pipeline the (nbx, LANE) row DMAs better than fewer big-block programs
+    # (y-blocked variants were 1.3-1.6x slower at 131k). `yb` overrides for
+    # experiments; it must divide nby.
+    YB = 1 if yb is None else yb
+    assert nby % YB == 0, (nby, YB)
 
     def kernel(*refs, evflag: bool):
         # refs: 27 J blocks (coord-major, then (dz, dy) row-major), 3 Xi

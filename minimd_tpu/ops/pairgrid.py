@@ -34,11 +34,13 @@ def to_padded_soa(x, geom: CellGeometry, h: int, nb_local=None, exchanges=None):
 
     Single device: every dim is a periodic self-wrap. Multi-chip (spatial
     decomposition): pass `nb_local` = the device's local grid shape and
-    `exchanges[spatial_axis] = fn(lo_slab, hi_slab, coord_dim) ->
-    (lo_halo, hi_halo)` for each decomposed axis; the hook trades boundary
-    slabs with mesh neighbors (ppermute) — the reference's
-    borders/communicate (comm.cpp:276-317,700-883) as one dense slab swap.
-    Spatial axes are indexed (0=z, 1=y, 2=x) in grid order.
+    `exchanges[grid_axis] = fn(g, coord_dim) -> (lo_halo, hi_halo)` for
+    each decomposed axis; the hook receives the (partially padded) local
+    grid, slices its own boundary slabs, and trades them with mesh
+    neighbors (ppermute) — the reference's borders/communicate
+    (comm.cpp:276-317,700-883) as dense slab swaps, including the
+    multi-hop plan when the halo is wider than a device's span
+    (comm.cpp:150-180 need[]>1). Grid axes are indexed (0=z, 1=y, 2=x).
     """
     nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
@@ -57,16 +59,19 @@ def _pad_halo(g, h: int, prd_d: float, coord_dim: int, exchanges=None):
     coordinate d is 2 - d."""
     own_axis = 2 - coord_dim
     for axis in (2, 1, 0):  # x first, then y, then z (reference swap order)
-        lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]), axis=axis)
-        hi = jnp.take(g, jnp.arange(0, h), axis=axis)
         if exchanges is not None and axis in exchanges:
-            # slabs come from mesh neighbors; the hook applies any
-            # boundary-crossing coordinate shift itself
-            lo, hi = exchanges[axis](lo, hi, coord_dim)
-        elif axis == own_axis:
-            # python-float shift: weak type, so the grid dtype is preserved
-            lo = lo - prd_d
-            hi = hi + prd_d
+            # halos come from mesh neighbors (possibly multiple hops); the
+            # hook slices what it needs and applies any boundary-crossing
+            # coordinate shift itself
+            lo, hi = exchanges[axis](g, coord_dim)
+        else:
+            lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]),
+                          axis=axis)
+            hi = jnp.take(g, jnp.arange(0, h), axis=axis)
+            if axis == own_axis:
+                # python-float shift: weak type preserves the grid dtype
+                lo = lo - prd_d
+                hi = hi + prd_d
         g = jnp.concatenate([lo, g, hi], axis=axis)
     return g
 
@@ -81,10 +86,12 @@ def pad_grid_int(t, geom: CellGeometry, h: int, nb_local=None, exchanges=None):
     C = geom.capacity
     g = t.reshape(nbz, nby, nbx, C)
     for axis in (2, 1, 0):
-        lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]), axis=axis)
-        hi = jnp.take(g, jnp.arange(0, h), axis=axis)
         if exchanges is not None and axis in exchanges:
-            lo, hi = exchanges[axis](lo, hi, None)
+            lo, hi = exchanges[axis](g, None)
+        else:
+            lo = jnp.take(g, jnp.arange(g.shape[axis] - h, g.shape[axis]),
+                          axis=axis)
+            hi = jnp.take(g, jnp.arange(0, h), axis=axis)
         g = jnp.concatenate([lo, g, hi], axis=axis)
     return g
 

@@ -42,7 +42,8 @@ class ShardedSimulation:
     arrays: tuple   # (x, v, f, typ, valid) device arrays, grid-shaped
 
     @staticmethod
-    def from_input(inp, devices=None, *, dtype=None, nbins=None):
+    def from_input(inp, devices=None, *, dtype=None, nbins=None,
+                   safe_exchange=False):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -88,18 +89,26 @@ class ShardedSimulation:
             dtforce /= scales.mvv2e
         dtforce /= mass
 
+        # --safe_exchange: forward leavers up to half the ring per axis —
+        # enough to place an atom arriving from ANY device (the reference's
+        # exchange_all, comm.cpp:599-689). Default single hop is guaranteed
+        # by the skin-drift bound for normal cadences.
+        hops = max(max(mesh.shape.values()) // 2, 1) if safe_exchange else 1
+
         if inp.forcetype == FORCE_LJ:
             params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
             run_fn, sharding = make_sharded_lj_run(
                 geom, params, mesh, scales, mass=mass, dt=inp.dt,
                 dtforce=dtforce, natoms=natoms,
-                neigh_every=inp.neigh_every, dtype=dtype)
+                neigh_every=inp.neigh_every, dtype=dtype,
+                exchange_hops=hops)
             force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
         else:
             run_fn, sharding = make_sharded_eam_run(
                 geom, tables, mesh, scales, mass=mass, dt=inp.dt,
                 dtforce=dtforce, natoms=natoms,
-                neigh_every=inp.neigh_every, dtype=dtype)
+                neigh_every=inp.neigh_every, dtype=dtype,
+                exchange_hops=hops)
             from ..ops.eam_grid import make_eam_force_grid
             force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
 

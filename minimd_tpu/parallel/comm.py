@@ -35,12 +35,19 @@ def _device_span(geom: CellGeometry, mesh: Mesh):
 
 
 def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
-                        buf_cap: int | None = None):
+                        buf_cap: int | None = None, hops: int = 1):
     """Returns a function (x, v, typ, valid) -> (x, v, typ, valid, overflow)
     operating on device-local flat arrays inside shard_map.
 
     x rows are positions (may be slightly outside the box), valid marks
     occupied slots. The result is the device's local cell-major block.
+
+    hops: per-axis migration passes. The skin guarantee bounds drift to
+    less than one cell per reneigh interval, so hops=1 covers every normal
+    run; hops=k forwards atoms up to k devices per axis, the reference's
+    `exchange_all` multi-hop ring for arbitrarily displaced atoms
+    (comm.cpp:599-689, --safe_exchange). Atoms still unplaced after all
+    passes are counted in the returned overflow (the run fails loudly).
     """
     nbx, nby, nbz = geom.nb
     C = geom.capacity
@@ -90,46 +97,47 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
             L = span[name]
             B = caps[name]
             idx_dev = jax.lax.axis_index(name)
-            cell_d = global_cell_index(pool_x, d)
-            dev_d = cell_d // L
-            # destination offset: -1, 0, +1 (with periodic wrap)
-            diff = dev_d - idx_dev
-            half = n // 2
-            diff = jnp.where(diff > half, diff - n, diff)
-            diff = jnp.where(diff < -half, diff + n, diff)
-            leave_lo = pool_ok & (diff < 0)
-            leave_hi = pool_ok & (diff > 0)
-            # anything that wants to move more than one device is an
-            # overflow (reference: requires --safe_exchange; we fail loudly)
-            overflow = overflow + jnp.sum(jnp.abs(diff) > 1, where=pool_ok,
-                                          initial=0).astype(jnp.int32)
+            # each pass ships leavers one device toward their destination;
+            # with hops > 1 multi-device movers are forwarded ring-style
+            # like the reference's exchange_all (comm.cpp:599-689). An atom
+            # left unplaced after the passes fails the `inside` audit below.
+            for _hop in range(hops):
+                cell_d = global_cell_index(pool_x, d)
+                dev_d = cell_d // L
+                # signed shortest-path device distance (periodic wrap)
+                diff = dev_d - idx_dev
+                half = n // 2
+                diff = jnp.where(diff > half, diff - n, diff)
+                diff = jnp.where(diff < -half, diff + n, diff)
+                leave_lo = pool_ok & (diff < 0)
+                leave_hi = pool_ok & (diff > 0)
 
-            def pack(leaving):
-                order = jnp.argsort(~leaving)  # leavers first, stable
-                count = jnp.sum(leaving)
-                bx = pool_x[:, order][:, :B]
-                bv = pool_v[:, order][:, :B]
-                bt = pool_t[order][:B]
-                bok = (jnp.arange(B) < count) & (count <= B)
-                ovf = jnp.maximum(count - B, 0).astype(jnp.int32)
-                return bx, bv, bt, bok, ovf
+                def pack(leaving):
+                    order = jnp.argsort(~leaving)  # leavers first, stable
+                    count = jnp.sum(leaving)
+                    bx = pool_x[:, order][:, :B]
+                    bv = pool_v[:, order][:, :B]
+                    bt = pool_t[order][:B]
+                    bok = (jnp.arange(B) < count) & (count <= B)
+                    ovf = jnp.maximum(count - B, 0).astype(jnp.int32)
+                    return bx, bv, bt, bok, ovf
 
-            blo = pack(leave_lo)
-            bhi = pack(leave_hi)
-            overflow = overflow + blo[4] + bhi[4]
+                blo = pack(leave_lo)
+                bhi = pack(leave_hi)
+                overflow = overflow + blo[4] + bhi[4]
 
-            down = [(i, (i - 1) % n) for i in range(n)]
-            up = [(i, (i + 1) % n) for i in range(n)]
-            # send lo-bound leavers down; they arrive from above
-            rlo = [jax.lax.ppermute(b, name, down) for b in blo[:4]]
-            rhi = [jax.lax.ppermute(b, name, up) for b in bhi[:4]]
+                down = [(i, (i - 1) % n) for i in range(n)]
+                up = [(i, (i + 1) % n) for i in range(n)]
+                # send lo-bound leavers down; they arrive from above
+                rlo = [jax.lax.ppermute(b, name, down) for b in blo[:4]]
+                rhi = [jax.lax.ppermute(b, name, up) for b in bhi[:4]]
 
-            # my pool keeps non-leavers; arrivals appended
-            stay = pool_ok & ~leave_lo & ~leave_hi
-            pool_x = jnp.concatenate([pool_x, rlo[0], rhi[0]], axis=1)
-            pool_v = jnp.concatenate([pool_v, rlo[1], rhi[1]], axis=1)
-            pool_t = jnp.concatenate([pool_t, rlo[2], rhi[2]])
-            pool_ok = jnp.concatenate([stay, rlo[3], rhi[3]])
+                # my pool keeps non-leavers; arrivals appended
+                stay = pool_ok & ~leave_lo & ~leave_hi
+                pool_x = jnp.concatenate([pool_x, rlo[0], rhi[0]], axis=1)
+                pool_v = jnp.concatenate([pool_v, rlo[1], rhi[1]], axis=1)
+                pool_t = jnp.concatenate([pool_t, rlo[2], rhi[2]])
+                pool_ok = jnp.concatenate([stay, rlo[3], rhi[3]])
 
         # local rebin: global cell -> local cell id within my block
         cg = [global_cell_index(pool_x, d) for d in range(3)]

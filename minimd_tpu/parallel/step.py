@@ -32,31 +32,57 @@ from ..units import ThermoScales
 _AXIS_OF_SPATIAL = {0: "z", 1: "y", 2: "x"}  # grid axis -> mesh axis name
 
 
-def _make_exchanges(mesh: Mesh, prd, dtype):
-    """Per-spatial-axis halo exchange hooks (only for decomposed axes)."""
+def _make_exchanges(mesh: Mesh, prd, dtype, h: int, nb_local):
+    """Per-spatial-axis halo exchange hooks (only for decomposed axes).
+
+    Each hook assembles the h-cell halo along its grid axis from ring
+    neighbors. When h <= the device's span L this is one ppermute per
+    direction (the reference's single swap, comm.cpp:276-317); when the
+    stencil reaches past an entire neighbor (cutneigh > device span) the
+    halo is stitched from k = ceil(h/L) neighbors, one ppermute per hop —
+    the reference's need[]>1 multi-hop swap plan (comm.cpp:150-180). Hop j
+    ships only the slice that intersects the halo window, and the periodic
+    coordinate shift applies to devices within j of the global boundary.
+    """
     exchanges = {}
-    for spatial_axis, name in _AXIS_OF_SPATIAL.items():
+    lspan = {0: nb_local[2], 1: nb_local[1], 2: nb_local[0]}  # grid axis -> L
+    for grid_axis, name in _AXIS_OF_SPATIAL.items():
         n = mesh.shape[name]
         if n == 1:
             continue  # periodic self-wrap handles it
+        L = lspan[grid_axis]
+        k = -(-h // L)  # hops needed to cover the halo
+        assert k <= n, (
+            f"halo of {h} cells spans more than one full ring wrap on mesh "
+            f"axis {name!r} (L={L}, n={n})")
 
-        def exchange(lo, hi, coord_dim, *, name=name, n=n, spatial_axis=spatial_axis):
-            # lo = my top h-slab -> becomes upper neighbor's low halo
-            # hi = my bottom h-slab -> becomes lower neighbor's high halo
-            up = [(i, (i + 1) % n) for i in range(n)]
-            down = [(i, (i - 1) % n) for i in range(n)]
-            halo_lo = jax.lax.ppermute(lo, name, up)
-            halo_hi = jax.lax.ppermute(hi, name, down)
-            # coordinate shift when the halo crossed the global boundary
-            own_coord = 2 - spatial_axis
-            if coord_dim == own_coord:
-                idx = jax.lax.axis_index(name)
-                p = jnp.asarray(float(prd[coord_dim]), dtype)
-                halo_lo = jnp.where(idx == 0, halo_lo - p, halo_lo)
-                halo_hi = jnp.where(idx == n - 1, halo_hi + p, halo_hi)
-            return halo_lo, halo_hi
+        def exchange(g, coord_dim, *, name=name, n=n, k=k, L=L,
+                     grid_axis=grid_axis):
+            idx = jax.lax.axis_index(name)
+            shift = (coord_dim == 2 - grid_axis)
+            p = jnp.asarray(float(prd[coord_dim]), dtype) if shift else None
+            lo_parts, hi_parts = [], []
+            for j in range(k, 0, -1):
+                s = min(L, h - (j - 1) * L)  # needed slice width at hop j
+                # lo halo cell range [-h, 0): device idx-j contributes its
+                # top s cells; hi halo [E, E+h): idx+j its bottom s cells
+                slab = jax.lax.slice_in_dim(g, L - s, L, axis=grid_axis)
+                part = jax.lax.ppermute(
+                    slab, name, [(i, (i + j) % n) for i in range(n)])
+                if shift:
+                    part = jnp.where(idx < j, part - p, part)
+                lo_parts.append(part)
+                slab = jax.lax.slice_in_dim(g, 0, s, axis=grid_axis)
+                part = jax.lax.ppermute(
+                    slab, name, [(i, (i - j) % n) for i in range(n)])
+                if shift:
+                    part = jnp.where(idx >= n - j, part + p, part)
+                hi_parts.append(part)
+            cat = (lambda ps: ps[0] if len(ps) == 1
+                   else jnp.concatenate(ps, axis=grid_axis))
+            return cat(lo_parts), cat(list(reversed(hi_parts)))
 
-        exchanges[spatial_axis] = exchange
+        exchanges[grid_axis] = exchange
     return exchanges
 
 
@@ -65,13 +91,10 @@ def local_grid_shape(geom: CellGeometry, mesh: Mesh):
     px, py, pz = mesh.shape["x"], mesh.shape["y"], mesh.shape["z"]
     assert nbx % px == 0 and nby % py == 0 and nbz % pz == 0, (
         f"cell grid {geom.nb} not divisible by mesh {(px, py, pz)}")
-    # the halo exchange ships slabs to/from +-1 mesh neighbors only; a
-    # stencil reaching further than one cell (binsize < cutneigh) would
-    # need the reference's multi-hop swaps (comm.cpp need[]>1) — not yet
-    # implemented, so reject instead of silently computing wrong forces
-    assert halo_extent(geom) == 1, (
-        "sharded paths require binsize >= cutneigh (single-hop halos); "
-        f"stencil reach is {halo_extent(geom)} cells")
+    # halo width (stencil reach) beyond a device's span is handled by the
+    # multi-hop exchange hooks (_make_exchanges), matching the reference's
+    # need[]>1 swap plan (comm.cpp:150-180); only a halo wider than one
+    # full ring wrap is rejected (inside _make_exchanges)
     return (nbx // px, nby // py, nbz // pz)
 
 
@@ -101,7 +124,7 @@ def make_sharded_lj_step(
     h = halo_extent(geom)
     dt_c = jnp.asarray(dt, dtype)
     dtf_c = jnp.asarray(dtforce, dtype)
-    exchanges = _make_exchanges(mesh, geom.prd, dtype)
+    exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
 
     spec = P(None, "z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
@@ -144,6 +167,7 @@ def make_sharded_lj_run(
     natoms: int,
     neigh_every: int,
     dtype=jnp.float32,
+    exchange_hops: int = 1,
 ):
     """Full sharded run loop: lax.scan over timesteps with in-scan atom
     migration on the reneighbor cadence (the complete multi-chip analog of
@@ -158,8 +182,9 @@ def make_sharded_lj_run(
     h = halo_extent(geom)
     dt_c = jnp.asarray(dt, dtype)
     dtf_c = jnp.asarray(dtforce, dtype)
-    exchanges = _make_exchanges(mesh, geom.prd, dtype)
-    exchange_rebin = make_exchange_rebin(geom, mesh, dtype)
+    exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
+    exchange_rebin = make_exchange_rebin(geom, mesh, dtype,
+                                        hops=exchange_hops)
 
     spec = P(None, "z", "y", "x", None)
     spec1 = P("z", "y", "x", None)
@@ -237,6 +262,7 @@ def make_sharded_eam_run(
     natoms: int,
     neigh_every: int,
     dtype=jnp.float32,
+    exchange_hops: int = 1,
 ):
     """Sharded EAM run loop. The embedding-derivative halo between the two
     force passes rides the same ppermute hooks as the position halo — the
@@ -248,10 +274,12 @@ def make_sharded_eam_run(
 
     nb_local = local_grid_shape(geom, mesh)
     lx, ly, lz = nb_local
+    h = halo_extent(geom)
     dt_c = jnp.asarray(dt, dtype)
     dtf_c = jnp.asarray(dtforce, dtype)
-    exchanges = _make_exchanges(mesh, geom.prd, dtype)
-    exchange_rebin = make_exchange_rebin(geom, mesh, dtype)
+    exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
+    exchange_rebin = make_exchange_rebin(geom, mesh, dtype,
+                                        hops=exchange_hops)
     force_ev, _ = make_eam_force_grid(
         geom, tables, dtype=dtype, nb_local=(lx, ly, lz), exchanges=exchanges)
 

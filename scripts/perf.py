@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""EAM TPU throughput measurement (reference deck in.eam.miniMD sizes).
+"""TPU throughput measurement for any builtin deck and size.
 
 Slope-of-two-scan-lengths methodology (see bench.py / CLAUDE.md): warm both
 scan lengths, then time each once; the difference cancels per-call dispatch
@@ -28,11 +28,12 @@ from minimd_tpu.sim import Simulation  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--style", choices=["lj", "eam"], default="eam")
     ap.add_argument("--n", type=int, default=32, help="FCC cells per side")
     ap.add_argument("--steps", type=int, nargs=2, default=(100, 300))
     args = ap.parse_args()
 
-    inp = builtin_deck("eam")
+    inp = builtin_deck(args.style)
     inp.nx = inp.ny = inp.nz = args.n
     sim = Simulation.from_input(inp, dtype=jnp.float32)
     natoms = sim.natoms

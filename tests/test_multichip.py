@@ -214,3 +214,141 @@ def test_sharded_simulation_api():
                                 nbins=ssim.geom.nb, backend="xla")
     tr1 = sim.run(40)
     np.testing.assert_allclose(tr[:, 0], tr1[:, 0], rtol=1e-12, atol=0)
+
+
+def test_multihop_halo_force_matches_single_device():
+    """Multi-hop halos (reference need[]>1, comm.cpp:150-180): with
+    binsize < cutneigh the stencil reaches h=2 cells; on a mesh where a
+    device's span is a single cell the halo must be stitched from TWO ring
+    neighbors per direction. Forces must be bit-identical to the
+    single-device evaluation of the same geometry, and that evaluation in
+    turn must match the natural (h=1) binning — same pair set either way."""
+    inp = builtin_deck("lj")
+    nx = 8
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    sc = thermo_scales(inp.units, len(x), box.volume)
+    v = create.create_velocity(v, inp.t_request, len(x), 1.0, sc.t_scale)
+    typ = np.zeros(len(x), np.int32)
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+
+    from minimd_tpu.ops.pairgrid import halo_extent
+
+    # h=1 natural binning: physics anchor
+    geom1 = cells.build_geometry(box.prd, inp.neigh_cut, x)
+    st1 = init_state(x, v, typ, geom1, dtype=jnp.float64)
+    f1, e1, w1 = jax.jit(make_lj_force_grid(geom1, params, dtype=jnp.float64)[0])(
+        st1.x, st1.typ)
+
+    # h=2 fine binning (binsize < cutneigh)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(6, 6, 6))
+    assert halo_extent(geom) == 2
+    st = init_state(x, v, typ, geom, dtype=jnp.float64)
+    fref, eref, wref = jax.jit(
+        make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(st.x, st.typ)
+    # energy/virial are pure pair sums: identical pair set across binnings
+    assert abs(float(eref - e1) / float(e1)) < 1e-12
+    assert abs(float(wref - w1) / float(w1)) < 1e-12
+
+    dtf = 0.5 * inp.dt
+    nbx, nby, nbz = geom.nb
+    shape = (3, nbz, nby, nbx, geom.capacity)
+    for grid in ((1, 1, 6), (2, 2, 1)):  # k=2 multi-hop; k=1 thick slab
+        ndev = grid[0] * grid[1] * grid[2]
+        mesh = make_mesh(jax.devices()[:ndev], box.prd, grid)
+        step, sharding = make_sharded_lj_step(
+            geom, params, mesh, sc, mass=1.0, dt=inp.dt, dtforce=dtf,
+            natoms=len(x), dtype=jnp.float64)
+        xg = jax.device_put(jnp.asarray(st.x).reshape(shape), sharding)
+        vg = jax.device_put(jnp.asarray(st.v).reshape(shape), sharding)
+        f0 = jax.device_put(jnp.asarray(fref).reshape(shape), sharding)
+        xg2, vg2, fg2, tup = step(xg, vg, f0)
+        # one kick-drift from identical state: recompute the single-device
+        # force at the drifted positions for the comparison
+        v1 = st.v + dtf * fref
+        x1 = st.x + inp.dt * v1
+        fd, _, _ = jax.jit(
+            make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(x1, st.typ)
+        np.testing.assert_allclose(np.asarray(fg2).reshape(3, -1),
+                                   np.asarray(fd), rtol=1e-12, atol=1e-12,
+                                   err_msg=f"mesh grid {grid}")
+
+
+def test_multihop_migration_places_teleported_atoms():
+    """Multi-hop migration (reference exchange_all, comm.cpp:599-689):
+    atoms displaced several device spans must be forwarded ring-style to
+    their owner when hops > 1, and fail loudly (overflow) at hops=1."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from minimd_tpu.parallel.comm import make_exchange_rebin
+
+    inp = builtin_deck("lj")
+    nx = 16
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    natoms = len(x)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(8, 8, 8))
+    typ = np.zeros(natoms, np.int32)
+    st = init_state(x, v, typ, geom, dtype=jnp.float64)
+
+    # teleport every 50th atom by an arbitrary large displacement
+    xs = np.asarray(st.x).copy()
+    valid0 = np.asarray(st.valid)
+    slots = np.flatnonzero(valid0)[::50]
+    prd = np.asarray(geom.prd)
+    xs[:, slots] = np.mod(
+        xs[:, slots] + prd[:, None] * np.array([[0.37], [0.21], [0.43]]), 
+        prd[:, None])
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (8, 1, 1))  # x-ring of 8
+    nbx, nby, nbz = geom.nb
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
+    shard = NamedSharding(mesh, P(None, "z", "y", "x", None))
+    sh1 = NamedSharding(mesh, P("z", "y", "x", None))
+
+    def run_with(hops):
+        ex = make_exchange_rebin(geom, mesh, jnp.float64, hops=hops)
+
+        @jax.jit
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, "z", "y", "x", None),) * 2
+                 + (P("z", "y", "x", None),) * 2,
+                 out_specs=(P(None, "z", "y", "x", None),) * 2
+                 + (P("z", "y", "x", None),) * 2 + (P(),))
+        def go(xg, vg, tg, okg):
+            sh = xg.shape
+            xo, vo, to, oko, ovf = ex(
+                xg.reshape(3, -1), vg.reshape(3, -1),
+                tg.reshape(-1), okg.reshape(-1))
+            return (xo.reshape(sh), vo.reshape(sh), to.reshape(sh[1:]),
+                    oko.reshape(sh[1:]),
+                    jax.lax.psum(ovf, ("z", "y", "x")))
+
+        xg = jax.device_put(xs.reshape(gs), shard)
+        vg = jax.device_put(np.asarray(st.v).reshape(gs), shard)
+        tg = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
+        okg = jax.device_put(valid0.reshape(gs1), sh1)
+        return go(xg, vg, tg, okg)
+
+    # hops=4 (half the ring): every teleporter must be placed
+    xo, vo, to, oko, ovf = run_with(4)
+    assert int(ovf) == 0
+    ok = np.asarray(oko).reshape(-1)
+    assert int(ok.sum()) == natoms
+    # every occupied slot holds an atom whose cell matches its position
+    xflat = np.asarray(xo).reshape(3, -1)
+    C = geom.capacity
+    from minimd_tpu.cells import coord_to_cell, pbc_wrap
+
+    xw = pbc_wrap(jnp.asarray(xflat), geom.prd)
+    cid, _ = coord_to_cell(xw, geom)
+    cid = np.asarray(cid)
+    slot_cell = np.arange(geom.nslots) // C
+    assert np.all(cid[ok] == slot_cell[ok])
+
+    # hops=1 cannot place multi-device movers: loud overflow
+    *_, ovf1 = run_with(1)
+    assert int(ovf1) > 0
