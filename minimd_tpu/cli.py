@@ -213,12 +213,14 @@ if __name__ == "__main__":
 
 
 def main_sharded(args, inp, dtype):
-    """Multi-device run path (spatial decomposition, parallel/)."""
-    import time
-
+    """Multi-device run path (spatial decomposition, parallel/) — same
+    harness surface as the single-device path: banner, step-0 row, phase
+    timers (--timed), lost-atom audit, populated PERF_SUMMARY, YAML report
+    with per-device distribution statistics (ref output.cpp:203-547)."""
     import jax
 
     from .parallel import ShardedSimulation
+    from .timer import TIME_COMM, TIME_FORCE, TIME_NEIGH, Timer
 
     devices = jax.devices()[: args.devices]
     if len(devices) < args.devices:
@@ -231,21 +233,48 @@ def main_sharded(args, inp, dtype):
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
                                         nbins=nbins,
                                         safe_exchange=args.safe_exchange)
-    print(f"# Done .... mesh={dict(ssim.mesh.shape)} "
-          f"cells={ssim.geom.nb} atoms={ssim.natoms}")
+    print("# Done .... ")
+    banner(inp, ssim, args, args.input_file)
+    print(f"# Mesh: {dict(ssim.mesh.shape)}")
+
+    print("# Starting dynamics ...")
     print("# Timestep T U P Time")
-    t0 = time.time()
-    trace = ssim.run(inp.ntimes)
-    t_total = time.time() - t0
-    nstat = inp.thermo_nstat
-    for n in range(len(trace)):
-        if nstat and (n + 1) % nstat == 0:
-            r = trace[n]
-            print(f"{n+1} {r[0]:e} {r[1]:e} {r[2]:e} {t_total:6.3f}")
-    if nstat and len(trace) % nstat != 0:
-        r = trace[-1]
-        print(f"{len(trace)} {r[0]:e} {r[1]:e} {r[2]:e} {t_total:6.3f}")
+    timer = Timer()
+    r0 = ssim.row0
+    print(f"{r0[0]} {r0[1]:e} {r0[2]:e} {r0[3]:e}  0.000")
+
+    timer.barrier_start(TIME_TOTAL)
+    if args.timed:
+        trace = ssim.run_timed(timer, inp.ntimes)
+    else:
+        trace = ssim.run(inp.ntimes)
+    timer.barrier_stop(TIME_TOTAL)
+
+    rows = ssim.thermo_trace(trace)
+    t_total = timer.array[TIME_TOTAL]
+    for r in rows[1:]:
+        print(f"{r[0]} {r[1]:e} {r[2]:e} {r[3]:e} {t_total:6.3f}")
+
+    from .output import lost_atom_check, per_device_statistics, yaml_report
+
+    lost = lost_atom_check(ssim)
+    if lost:
+        print(f"# WARNING: {lost} atoms lost")
+
+    t_force, t_neigh, t_comm = (timer.array[TIME_FORCE],
+                                timer.array[TIME_NEIGH],
+                                timer.array[TIME_COMM])
+    t_other = max(t_total - t_force - t_neigh - t_comm, 0.0)
     perf = ssim.natoms * inp.ntimes / t_total if t_total else 0.0
     print("\n\n# Performance Summary:")
-    print(f"{args.devices} 1 {inp.ntimes} {ssim.natoms} {t_total:f} 0 0 0 0 "
-          f"{perf:f} {perf/args.devices:f} PERF_SUMMARY 0.000000\n")
+    print("# devices OMP_threads nsteps natoms t_total t_force t_neigh "
+          "t_comm t_other performance perf/device grep_string t_extra")
+    print(f"{args.devices} 1 {inp.ntimes} {ssim.natoms} {t_total:f} "
+          f"{t_force:f} {t_neigh:f} {t_comm:f} {t_other:f} {perf:f} "
+          f"{perf/args.devices:f} PERF_SUMMARY 0.000000\n")
+
+    if args.yaml_output:
+        path = yaml_report(ssim, rows, timer, nprocs=args.devices,
+                           screen=args.yaml_screen,
+                           extra_stats=per_device_statistics(ssim))
+        print(f"# YAML report: {path}")

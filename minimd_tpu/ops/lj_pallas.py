@@ -42,8 +42,7 @@ def _round_up(n, m):
 
 
 def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
-                         dtype=jnp.float32, interpret: bool = False,
-                         yb: int | None = None):
+                         dtype=jnp.float32, interpret: bool = False):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial)."""
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"
@@ -59,12 +58,11 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
     eps = float(params.epsilon[0])
     sig6 = float(params.sigma6[0])
 
-    # One y-row per program measured fastest at 131k: many small programs
-    # pipeline the (nbx, LANE) row DMAs better than fewer big-block programs
-    # (y-blocked variants were 1.3-1.6x slower at 131k). `yb` overrides for
-    # experiments; it must divide nby.
-    YB = 1 if yb is None else yb
-    assert nby % YB == 0, (nby, YB)
+    # One y-row per program: the (dz, dy) view index maps shift by BLOCKS,
+    # so a +-1 y-neighbor view is only expressible with single-row blocks;
+    # YB > 1 would need overlapping (YB+2)-row windows, which BlockSpecs
+    # cannot express (size == stride). Single rows also measured fastest.
+    YB = 1
 
     def kernel(*refs, evflag: bool):
         # refs: 27 J blocks (coord-major, then (dz, dy) row-major), 3 Xi

@@ -66,8 +66,37 @@ def run_statistics(sim) -> dict:
     return stats
 
 
+def per_device_statistics(ssim) -> dict:
+    """Per-device distributions for sharded runs: atoms owned (nlocal) and
+    ghost-slab sizes — the reference's per-rank stats (output.cpp:280-475).
+    Per-device TIME is uniform by SPMD construction (all devices execute
+    one fused program in lockstep), so unlike MPI ranks there is no time
+    skew to histogram; the atom/ghost imbalance below is what drives any
+    hardware-level wait."""
+    import jax
+
+    valid = np.asarray(jax.device_get(ssim.arrays[4]))  # (nbz,nby,nbx,C)
+    nbz, nby, nbx, C = valid.shape
+    pz, py, px = (ssim.mesh.shape["z"], ssim.mesh.shape["y"],
+                  ssim.mesh.shape["x"])
+    lz, ly, lx = nbz // pz, nby // py, nbx // px
+    blocks = valid.reshape(pz, lz, py, ly, px, lx, C)
+    nlocal = blocks.sum(axis=(1, 3, 5, 6)).reshape(-1)
+    # ghost cells per device: the halo shell around the local block
+    from .ops.pairgrid import halo_extent
+
+    h = halo_extent(ssim.geom)
+    shell_cells = ((lz + 2 * h) * (ly + 2 * h) * (lx + 2 * h) - lz * ly * lx)
+    return {
+        "atoms_per_device": _dist("nlocal", nlocal),
+        "atoms_per_device_list": nlocal.tolist(),
+        "ghost_cells_per_device": shell_cells,
+        "halo_extent_cells": h,
+    }
+
+
 def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
-                screen=False) -> str:
+                screen=False, extra_stats=None) -> str:
     """Write the YAML run report (output.cpp:105-493)."""
     inp = sim.inp
     lost = lost_atom_check(sim)
@@ -119,10 +148,16 @@ def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
         a(f"  atom_steps_per_second: {sim.natoms * inp.ntimes / t_total:.1f}")
     a("")
     a("statistics:")
-    for name, vals in run_statistics(sim).items():
-        a(f"  {name}:")
-        for k, vv in vals.items():
-            a(f"    {k}: {vv}")
+    stats = run_statistics(sim)
+    if extra_stats:
+        stats.update(extra_stats)
+    for name, vals in stats.items():
+        if isinstance(vals, dict):
+            a(f"  {name}:")
+            for k, vv in vals.items():
+                a(f"    {k}: {vv}")
+        else:
+            a(f"  {name}: {vals}")
     text = "\n".join(lines) + "\n"
 
     if path is None:

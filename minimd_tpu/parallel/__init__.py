@@ -40,6 +40,9 @@ class ShardedSimulation:
     scales: object
     mass: float
     arrays: tuple   # (x, v, f, typ, valid) device arrays, grid-shaped
+    dtforce: float = 0.0
+    row0: tuple = (0, 0.0, 0.0, 0.0)   # step-0 thermo (T, U, P)
+    _timed_cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
@@ -113,7 +116,13 @@ class ShardedSimulation:
             force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
 
         st = init_state(x_np, v_np, typ_np, geom, dtype=dtype)
-        f0 = jax.jit(force0)(st.x, st.typ)[0]
+        f0, eng0, vir0 = jax.jit(force0)(st.x, st.typ)
+
+        from .. import thermo
+        t0 = float(thermo.temperature(jnp.asarray(st.v), mass, scales))
+        u0 = float(thermo.energy(eng0, natoms, scales))
+        p0 = float(thermo.pressure(jnp.asarray(t0), vir0, scales))
+        row0 = (0, t0, u0, p0)
 
         nbx, nby, nbz = geom.nb
         gs = (3, nbz, nby, nbx, geom.capacity)
@@ -128,7 +137,8 @@ class ShardedSimulation:
         )
         return ShardedSimulation(
             inp=inp, geom=geom, mesh=mesh, run_fn=run_fn, sharding=sharding,
-            natoms=natoms, scales=scales, mass=mass, arrays=arrays)
+            natoms=natoms, scales=scales, mass=mass, arrays=arrays,
+            dtforce=dtforce, row0=row0)
 
     def run(self, ntimes: int):
         """Run ntimes steps; returns the (ntimes, 3) T/U/P trace."""
@@ -140,3 +150,119 @@ class ShardedSimulation:
         if int(ovf) > 0:
             raise RuntimeError(f"migration/capacity overflow: {int(ovf)}")
         return np.asarray(jax.device_get(trace))
+
+    @property
+    def state(self):
+        """Host view of the gathered state (x flat (3, M), valid flat) —
+        the surface output.lost_atom_check / run_statistics consume, so the
+        sharded path reports through the same harness as Simulation."""
+        import jax
+        import types
+
+        x, v, f, typ, valid = (np.asarray(jax.device_get(a))
+                               for a in self.arrays)
+        return types.SimpleNamespace(
+            x=x.reshape(3, -1), v=v.reshape(3, -1), typ=typ.reshape(-1),
+            valid=valid.reshape(-1))
+
+    def thermo_trace(self, trace):
+        """Thermo rows at thermo_nstat cadence, including step 0 — same
+        shape as Simulation.thermo_trace (every sharded step carries
+        energy, so no trailing recompute is needed)."""
+        nstat = self.inp.thermo_nstat
+        rows = [self.row0]
+        for n in range(len(trace)):
+            if nstat and (n + 1) % nstat == 0:
+                rows.append((n + 1, *map(float, trace[n])))
+        if nstat and len(trace) % nstat != 0:
+            rows.append((len(trace), *map(float, trace[-1])))
+        return rows
+
+    def run_timed(self, timer, ntimes: int | None = None):
+        """Interval-chunked run with phase timers (the reference's
+        integrate.cpp:101-192 stamps on the MPI path).
+
+        The production loop fuses halo exchange, force, and migration into
+        one scan, so phases are attributed by measured replay: each
+        reneigh interval runs the fused chunk (timed whole), then replays
+        the interval's halo exchanges (COMM) and one migration pass
+        (NEIGH) on the final state — identical computations on identical
+        shapes — and FORCE is the chunk minus the comm replay. Slightly
+        slower than run() (extra dispatches); physics identical."""
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+        from jax.sharding import PartitionSpec as P
+
+        from ..timer import TIME_COMM, TIME_FORCE, TIME_NEIGH
+
+        ntimes = self.inp.ntimes if ntimes is None else ntimes
+        every = self.inp.neigh_every
+        geom, mesh = self.geom, self.mesh
+        dtype = self.arrays[0].dtype
+
+        if not self._timed_cache:
+            from ..ops.pairgrid import halo_extent, to_padded_soa
+            from .comm import make_exchange_rebin
+            from .step import _make_exchanges, local_grid_shape
+
+            nb_local = local_grid_shape(geom, mesh)
+            h = halo_extent(geom)
+            exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
+            ex_rebin = make_exchange_rebin(geom, mesh, dtype)
+            spec = P(None, "z", "y", "x", None)
+            spec1 = P("z", "y", "x", None)
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec1),
+                     out_specs=P())
+            def comm_replay(xg, okg):
+                # the per-step halo fill (borders/communicate), replayed;
+                # consume the padded grids so nothing is elided
+                Xp = to_padded_soa(xg.reshape(3, -1), geom, h,
+                                   nb_local=nb_local, exchanges=exchanges)
+                acc = sum(jnp.sum(g) for g in Xp)
+                return jax.lax.psum(acc, ("z", "y", "x"))
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=(spec, spec, spec1, spec1), out_specs=P())
+            def neigh_replay(xg, vg, tg, okg):
+                sh = xg.shape
+                xo, *_ = ex_rebin(xg.reshape(3, -1), vg.reshape(3, -1),
+                                  tg.reshape(-1), okg.reshape(-1))
+                return jax.lax.psum(jnp.sum(xo), ("z", "y", "x"))
+
+            self._timed_cache.update(comm=comm_replay, neigh=neigh_replay)
+
+        comm_replay = self._timed_cache["comm"]
+        neigh_replay = self._timed_cache["neigh"]
+
+        rows = []
+        n = 0
+        while n < ntimes:
+            chunk = min(every, ntimes - n)
+            t0 = _time.time()
+            trace = self.run(chunk)
+            t_chunk = _time.time() - t0
+            rows.extend(trace)
+            n += chunk
+
+            x, v, f, typ, valid = self.arrays
+            t0 = _time.time()
+            for _ in range(chunk):
+                float(comm_replay(x, valid))   # fetch = sync (axon tunnel)
+            t_comm = _time.time() - t0
+            # run(chunk) numbers steps locally, so a migration fired inside
+            # the chunk iff it was a full reneigh interval
+            t0 = _time.time()
+            if chunk == every:
+                float(neigh_replay(x, v, typ, valid))
+            t_neigh = _time.time() - t0
+
+            timer.array[TIME_COMM] += t_comm
+            timer.array[TIME_NEIGH] += t_neigh
+            timer.array[TIME_FORCE] += max(t_chunk - t_comm - t_neigh, 0.0)
+        return np.asarray(rows)

@@ -37,8 +37,31 @@ def test_cli_sharded_end_to_end():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     out = _run(["-s", "16", "-n", "20", "--devices", "8"])
-    assert "mesh={'z': 2, 'y': 2, 'x': 2}" in out
+    assert "Mesh: {'z': 2, 'y': 2, 'x': 2}" in out
     assert "PERF_SUMMARY" in out
+    # step-0 golden row on the sharded path too (harness parity)
+    assert "0 1.440000e+00" in out
+
+
+def test_cli_sharded_timed_yaml(tmp_path, monkeypatch):
+    """Sharded harness parity: --timed populates the force/neigh/comm
+    buckets in PERF_SUMMARY and --yaml_output writes per-device stats
+    (ref output.cpp:203-547 + integrate.cpp:101-107)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    out = _run(["-s", "10", "-n", "40", "--devices", "8", "--timed",
+                "--yaml_output", "1", "--yaml_screen"])
+    perf = next(l for l in out.splitlines() if "PERF_SUMMARY" in l
+                and not l.startswith("#"))
+    f = perf.split()
+    # devices, threads, nsteps, natoms, t_total, t_force, t_neigh, t_comm
+    assert f[0] == "8" and f[2] == "40" and f[3] == "4000"
+    assert float(f[5]) > 0 and float(f[6]) > 0 and float(f[7]) > 0
+    assert "atoms_per_device" in out and "lost_atoms: 0" in out
+    assert "comm:" in out
+    yamls = list(tmp_path.glob("miniMD-*.yaml"))
+    assert len(yamls) == 1
 
 
 def test_cli_device_overcommit_errors():
