@@ -231,7 +231,7 @@ def main_sharded(args, inp, dtype):
     print("# Create System (sharded):")
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
-                                        nbins=nbins,
+                                        nbins=nbins, ntypes=args.ntypes,
                                         safe_exchange=args.safe_exchange)
     print("# Done .... ")
     banner(inp, ssim, args, args.input_file)

@@ -46,7 +46,7 @@ class ShardedSimulation:
 
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
-                   safe_exchange=False):
+                   safe_exchange=False, ntypes: int = 4):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -63,10 +63,19 @@ class ShardedSimulation:
         dtype = dtype or jnp.float32
         devices = list(devices if devices is not None else jax.devices())
 
-        box = create.create_box(inp.nx, inp.ny, inp.nz, inp.rho)
-        x_np, v_np = create.create_atoms(inp.nx, inp.ny, inp.nz, inp.rho, box)
-        natoms = len(x_np)
-        typ_np = create.assign_types(natoms, 1)
+        if inp.datafile is not None:
+            # LAMMPS data-file init (ref setup.cpp:215-301), same reader as
+            # the single-device path
+            from ..lammps_data import read_lammps_data
+            box, x_np, v_np, mass = read_lammps_data(inp.datafile)
+            natoms = len(x_np)
+        else:
+            box = create.create_box(inp.nx, inp.ny, inp.nz, inp.rho)
+            x_np, v_np = create.create_atoms(inp.nx, inp.ny, inp.nz,
+                                             inp.rho, box)
+            natoms = len(x_np)
+            mass = 1.0
+        typ_np = create.assign_types(natoms, ntypes)
 
         if inp.forcetype == FORCE_EAM:
             from ..ops.eam import EAMTables
@@ -74,11 +83,14 @@ class ShardedSimulation:
             mass, cut = tables.mass, tables.cut
         else:
             tables = None
-            mass, cut = 1.0, inp.force_cut
+            cut = inp.force_cut
 
         scales = thermo_scales(inp.units, natoms, box.volume)
-        v_np = create.create_velocity(v_np, inp.t_request, natoms, mass,
-                                      scales.t_scale)
+        # data files carry velocities; generated systems get COM-zero +
+        # rescale (setup.cpp:454-494)
+        if inp.datafile is None:
+            v_np = create.create_velocity(v_np, inp.t_request, natoms, mass,
+                                          scales.t_scale)
 
         grid = min_surface_grid(len(devices), box.prd)
         # cell grid must divide the mesh: snap each dim down to a multiple
@@ -99,7 +111,8 @@ class ShardedSimulation:
         hops = max(max(mesh.shape.values()) // 2, 1) if safe_exchange else 1
 
         if inp.forcetype == FORCE_LJ:
-            params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+            params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma,
+                                        inp.force_cut)
             run_fn, sharding = make_sharded_lj_run(
                 geom, params, mesh, scales, mass=mass, dt=inp.dt,
                 dtforce=dtforce, natoms=natoms,

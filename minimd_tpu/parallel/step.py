@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..cells import CellGeometry
 from ..ops.lj import LJParams
 from ..ops.lj_grid import lj_pair_loop
-from ..ops.pairgrid import halo_extent, to_padded_soa
+from ..ops.pairgrid import halo_extent, pad_grid_int, to_padded_soa
 from ..units import ThermoScales
 
 _AXIS_OF_SPATIAL = {0: "z", 1: "y", 2: "x"}  # grid axis -> mesh axis name
@@ -112,7 +112,8 @@ def make_sharded_lj_step(
 ):
     """Jitted full MD step over the mesh: initial integrate, halo exchange,
     LJ force, final integrate, psum'd thermo. Types are assumed uniform
-    (the shipped decks' case) for the sharded fast path.
+    in this single-step harness (asserted); the full run loop
+    (make_sharded_lj_run) threads per-type tables.
 
     Returns (step_fn, sharding) where step_fn maps grid-shaped
     (x, v, f) -> (x, v, f, (t, u, p)); arrays are (nbz, nby, nbx, C, 3)
@@ -128,6 +129,8 @@ def make_sharded_lj_step(
 
     spec = P(None, "z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
+
+    assert params.uniform, "single-step harness is type-uniform"
 
     def local_force(x_local, evflag=True):
         flat = x_local.reshape(3, -1)
@@ -190,11 +193,18 @@ def make_sharded_lj_run(
     spec1 = P("z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
 
-    def local_force(x_local, evflag=True):
+    def local_force(x_local, typ_local, evflag=True):
         flat = x_local.reshape(3, -1)
         Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
                            exchanges=exchanges)
-        f, eng, vir = lj_pair_loop(Xp, None, (lx, ly, lz), geom, params,
+        Tp = None
+        if not params.uniform:
+            # per-type tables need the neighbors' types too: same halo
+            # hooks, no coordinate shift (the reference ships type with
+            # position in border packs, comm.cpp:740-766)
+            Tp = pad_grid_int(typ_local.reshape(-1), geom, h,
+                              nb_local=(lx, ly, lz), exchanges=exchanges)
+        f, eng, vir = lj_pair_loop(Xp, Tp, (lx, ly, lz), geom, params,
                                    dtype, evflag)
         return jnp.stack(f, axis=0), eng, vir
 
@@ -217,7 +227,7 @@ def make_sharded_lj_run(
             x, v, typ, valid, ovf = jax.lax.cond(
                 (n + 1) % neigh_every == 0, reneigh, lambda a: a,
                 (x, v, typ, valid, ovf))
-            f, eng, vir = local_force(x)
+            f, eng, vir = local_force(x, typ)
             v = v + dtf_c * f
             eng = jax.lax.psum(eng, ("z", "y", "x"))
             vir = jax.lax.psum(vir, ("z", "y", "x"))

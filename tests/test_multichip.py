@@ -352,3 +352,94 @@ def test_multihop_migration_places_teleported_atoms():
     # hops=1 cannot place multi-device movers: loud overflow
     *_, ovf1 = run_with(1)
     assert int(ovf1) > 0
+
+
+def test_sharded_per_type_params_matches_single_device():
+    """Per-type LJ tables on the sharded run loop: the neighbor types ride
+    the same halo hooks as positions (ref comm.cpp:740-766 ships type in
+    border packs); forces must match the single-device per-type kernel."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from minimd_tpu.parallel.step import make_sharded_lj_run
+
+    inp = builtin_deck("lj")
+    nx = 16
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    natoms = len(x)
+    sc = thermo_scales(inp.units, natoms, box.volume)
+    v = create.create_velocity(v, inp.t_request, natoms, 1.0, sc.t_scale)
+    typ = create.assign_types(natoms, 2)
+    assert typ.max() == 1  # genuinely mixed types
+
+    # genuinely non-uniform tables: type-pair dependent epsilon/sigma
+    eps = np.array([1.0, 1.1, 1.1, 0.9])
+    sig = np.array([1.0, 1.02, 1.02, 0.98])
+    params = LJParams(ntypes=2, epsilon=eps, sigma6=sig ** 6,
+                      cutforcesq=np.full(4, inp.force_cut ** 2))
+    assert not params.uniform
+
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(8, 8, 8))
+    st = init_state(x, v, typ, geom, dtype=jnp.float64)
+
+    # single-device reference trajectory (per-type XLA grid kernel)
+    force = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float64)[0])
+    dtf = 0.5 * inp.dt
+    f0 = force(st.x, st.typ)[0]
+    xx, vv, ff, tt = st.x, st.v, f0, st.typ
+    ts = []
+    for i in range(30):
+        vv = vv + dtf * ff
+        xx = xx + inp.dt * vv
+        if (i + 1) % inp.neigh_every == 0:
+            xx, vv, tt, _ = cells.rebin_lean(xx, vv, tt, geom)
+        ff, _, _ = force(xx, tt)
+        vv = vv + dtf * ff
+        ts.append(float(jnp.sum(vv * vv)) * sc.t_scale)
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
+    run, sharding = make_sharded_lj_run(
+        geom, params, mesh, sc, mass=1.0, dt=inp.dt, dtforce=dtf,
+        natoms=natoms, neigh_every=inp.neigh_every, dtype=jnp.float64)
+    nbx, nby, nbz = geom.nb
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
+    sh1 = NamedSharding(mesh, P("z", "y", "x", None))
+    args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
+            for a in (st.x, st.v, f0)]
+    targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
+    varg = jax.device_put(np.asarray(st.valid).reshape(gs1), sh1)
+    *_, okg, ovf, tr8 = run(*args, targ, varg, 30)
+    assert int(ovf) == 0
+    assert int(np.asarray(okg).sum()) == natoms
+    np.testing.assert_allclose(np.asarray(tr8)[:, 0], np.array(ts),
+                               rtol=1e-12, atol=0)
+
+
+def test_sharded_datafile_init(tmp_path):
+    """Data-file init on the sharded path (ref setup.cpp:215-301 under
+    MPI): same reader, same trajectory as the single-device data-file
+    run."""
+    from minimd_tpu.lammps_data import write_lammps_data
+    from minimd_tpu.parallel import ShardedSimulation
+    from minimd_tpu.sim import Simulation
+
+    inp = builtin_deck("lj")
+    nx = 16
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    sc = thermo_scales(inp.units, len(x), box.volume)
+    v = create.create_velocity(v, inp.t_request, len(x), 1.0, sc.t_scale)
+    path = tmp_path / "16k.data"
+    write_lammps_data(path, box, x, v, mass=1.0)
+
+    inp.datafile = str(path)
+    sim = Simulation.from_input(inp, dtype=jnp.float64, nbins=(8, 8, 8),
+                                backend="xla")
+    tr1 = sim.run(40)
+
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64, nbins=(8, 8, 8))
+    assert ssim.natoms == len(x)
+    tr8 = ssim.run(40)
+    np.testing.assert_allclose(tr8[:, 0], tr1[:, 0], rtol=1e-12, atol=0)
