@@ -37,6 +37,8 @@ class Simulation:
     dtype: object
     eng_vdwl: jax.Array | None = None
     virial: jax.Array | None = None
+    # force-closure factory, kept for capacity grow-and-retry (geom changes)
+    _make_force: object = None
     # jit caches: re-wrapping jax.jit per call would retrace and hit the
     # (slow, remote on axon) compile cache every run()
     _jit_cache: dict = dataclasses.field(default_factory=dict)
@@ -138,7 +140,7 @@ class Simulation:
         sim = Simulation(
             inp=inp, geom=geom, state=state, scales=scales,
             force_fn=force_ev, force_fn_noev=force_noev, natoms=natoms,
-            mass=mass, dtforce=dtforce, dtype=dtype,
+            mass=mass, dtforce=dtforce, dtype=dtype, _make_force=make_force,
         )
         sim._compute_initial_force()
         return sim
@@ -320,20 +322,49 @@ class Simulation:
 
             self._jit_cache[key] = jax.jit(run_fn)
 
+        s_before = self.state
         self.state, trace = self._jit_cache[key](self.state)
         trace = np.asarray(jax.device_get(trace))
         if int(self.state.overflow) > 0:
-            raise RuntimeError(
-                f"cell capacity overflow: {int(self.state.overflow)} atom(s) "
-                f"did not fit (capacity {self.geom.capacity}); rebuild with a "
-                "larger `capacity` — physics would be silently wrong otherwise"
-            )
+            # transparent grow-and-retry, the reference's neighbor-bin
+            # resize semantics (neighbor.cpp:186-208): restore the
+            # pre-dispatch state (the overflowed trajectory dropped atoms,
+            # so it is invalid), rebuild with more capacity, replay
+            if self._make_force is None or self.geom.capacity >= 4 * 128:
+                raise RuntimeError(
+                    f"cell capacity overflow: {int(self.state.overflow)} "
+                    f"atom(s) did not fit (capacity {self.geom.capacity})")
+            newcap = self.geom.capacity + 8
+            print(f"# resize: cell capacity {self.geom.capacity} -> "
+                  f"{newcap} (rebin overflow), replaying interval")
+            self._regrow(s_before, newcap)
+            return self.run(ntimes)
         # final force with evflag on, like ljs.cpp:477-483, so thermo state
         # after a run is always consistent regardless of the nstat cadence
         _, eng, vir = self._jit("force_ev", self.force_fn)(
             self.state.x, self.state.typ)
         self.eng_vdwl, self.virial = eng, vir
         return trace
+
+    def _regrow(self, s: MDState, capacity: int):
+        """Re-lay the state out in a geometry with larger cell capacity
+        (same grid); forces are recomputed from positions, so physics is
+        unchanged up to summation order."""
+        valid = np.asarray(s.valid)
+        prd = np.asarray(self.geom.prd)
+        xs = np.mod(np.asarray(s.x).T[valid], prd)  # fold unfolded coords
+        vs = np.asarray(s.v).T[valid]
+        ts = np.asarray(s.typ)[valid]
+        solid = self.inp.forcetype == FORCE_EAM and self.inp.datafile is None
+        self.geom = cells.build_geometry(prd, self.inp.neigh_cut, xs,
+                                         nbins=self.geom.nb,
+                                         capacity=capacity, solid=solid)
+        self.force_fn, self.force_fn_noev = self._make_force(self.geom)
+        self._jit_cache.clear()
+        self.state = init_state(xs, vs, ts, self.geom, dtype=self.dtype)
+        row0 = self._row0
+        self._compute_initial_force()
+        self._row0 = row0   # step-0 thermo belongs to the original run
 
     def run_timed(self, timer, ntimes: int | None = None,
                   check_exchange: bool = False):

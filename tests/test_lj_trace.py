@@ -64,3 +64,33 @@ def test_lj_f32_no_overflow(golden_dir):
     golden = parse_golden(golden_dir / "4k.lj")
     g100 = {r[0]: r for r in golden.rows}[100]
     assert abs(float(trace[99][1]) - g100[2]) < 1e-3  # U agrees closely even in f32
+
+
+def test_capacity_regrow_preserves_physics():
+    """Transparent capacity grow (the reference's neighbor-bin resize,
+    neighbor.cpp:186-208): re-laying the state out with a larger capacity
+    must keep every atom and leave the trajectory unchanged up to
+    summation order."""
+    import numpy as np
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    a = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    b = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    a.run(25)
+    b.run(25)
+
+    cap0 = b.geom.capacity
+    b._regrow(b.state, cap0 + 8)
+    assert b.geom.capacity == cap0 + 8
+    assert int(np.asarray(b.state.valid).sum()) == b.natoms
+
+    ta = a.run(25)
+    tb = b.run(25)
+    # same positions, different slot layout: identical physics modulo
+    # f64 summation order
+    np.testing.assert_allclose(tb[:, 0], ta[:, 0], rtol=1e-12, atol=0)
+    assert int(b.state.overflow) == 0
