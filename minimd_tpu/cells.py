@@ -401,8 +401,7 @@ def rebin_local(x, v, typ, geom: CellGeometry):
     offsets = [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
                for dx in (-1, 0, 1)]
 
-    nch = len(chans)
-    out = jnp.zeros((ncells, C, nch), dtype)
+    out = [jnp.full((ncells, C), 0.0, dtype) for _ in chans]
     # sentinel placement for unoccupied slots is restored at the end
     base = jnp.zeros((ncells, 1), jnp.int32)
     rank_row = jnp.arange(C, dtype=jnp.int32)
@@ -413,17 +412,14 @@ def rebin_local(x, v, typ, geom: CellGeometry):
         rank = base + jnp.cumsum(sel, axis=-1, dtype=jnp.int32) - 1
         onehot = (sel[:, None, :]
                   & (rank[:, None, :] == rank_row[None, :, None])).astype(dtype)
-        # one dot for ALL channels: the (ncells, C, C) one-hot is the
-        # dominant memory traffic (XLA materializes dot operands), so it
-        # must be built once and read once per offset, not once per channel
-        vals = jnp.stack([stencil_slice(cp, off, 1, nb).reshape(ncells, C)
-                          for cp in chan_pad], axis=-1)   # (ncells, C, nch)
-        out = out + jax.lax.dot_general(
-            onehot, vals,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=dtype,
-        )
+        for i, cp in enumerate(chan_pad):
+            vals = stencil_slice(cp, off, 1, nb).reshape(ncells, C)
+            out[i] = out[i] + jax.lax.dot_general(
+                onehot, vals,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
         base = base + jnp.sum(sel, axis=-1, dtype=jnp.int32)[:, None]
 
     counts = base[:, 0]
@@ -431,10 +427,9 @@ def rebin_local(x, v, typ, geom: CellGeometry):
 
     occ = (rank_row[None, :] < counts[:, None]).reshape(M)
     sent = sentinel_positions(M, dtype)
-    outc = [out[:, :, i].reshape(M) for i in range(nch)]
-    new_x = jnp.stack([jnp.where(occ, outc[d], sent[d])
+    new_x = jnp.stack([jnp.where(occ, out[d].reshape(M), sent[d])
                        for d in range(3)], axis=0)
-    new_v = jnp.stack([jnp.where(occ, outc[3 + d], 0.0)
+    new_v = jnp.stack([jnp.where(occ, out[3 + d].reshape(M), 0.0)
                        for d in range(3)], axis=0)
-    new_t = jnp.where(occ, outc[6].astype(jnp.int32), 0)
+    new_t = jnp.where(occ, out[6].reshape(M).astype(jnp.int32), 0)
     return new_x, new_v, new_t, overflow

@@ -54,13 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timed", action="store_true",
                    help="interval-chunked run with phase timers "
                         "(slightly slower; reference Timer parity)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the run into DIR "
+                        "(view with TensorBoard / xprof)")
     # compatibility no-ops (reference CPU execution knobs)
     p.add_argument("-t", "--num_threads", type=int, default=1,
                    help="[no-op on TPU] reference OpenMP thread count")
     p.add_argument("--teams", type=int, default=1, help="[no-op on TPU]")
     p.add_argument("--half_neigh", type=int, default=0,
-                   help="[no-op] TPU build always uses full stencils "
-                        "(scatter-free); 0 accepted, others warned")
+                   help="1 = Newton half-neighbor LJ path (each pair "
+                        "evaluated once, halo-fold j accumulation; ~2x "
+                        "slower on TPU, parity option); 0 = full stencils")
     p.add_argument("-gn", "--ghost_newton", type=int, default=0,
                    help="[no-op] see --half_neigh")
     p.add_argument("-sse", type=int, default=0, help="[no-op]")
@@ -162,6 +166,7 @@ def main(argv=None):
     sim = Simulation.from_input(
         inp, ntypes=args.ntypes, dtype=dtype, nbins=nbins,
         capacity=args.capacity, backend=args.backend,
+        half_neigh=(args.half_neigh == 1 and inp.forcetype == FORCE_LJ),
     )
     print("# Done .... ")
     banner(inp, sim, args, args.input_file)
@@ -172,12 +177,18 @@ def main(argv=None):
     row0 = sim._row0
     print(f"{row0[0]} {row0[1]:e} {row0[2]:e} {row0[3]:e}  0.000")
 
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
     timer.barrier_start(TIME_TOTAL)
-    if args.timed or args.check_exchange:
-        trace = sim.run_timed(timer, check_exchange=args.check_exchange)
-    else:
-        trace = sim.run()
+    with prof:
+        if args.timed or args.check_exchange:
+            trace = sim.run_timed(timer, check_exchange=args.check_exchange)
+        else:
+            trace = sim.run()
     timer.barrier_stop(TIME_TOTAL)
+    if args.profile:
+        print(f"# profiler trace: {args.profile}")
 
     rows = sim.thermo_trace(trace)
     for r in rows[1:]:
@@ -232,7 +243,8 @@ def main_sharded(args, inp, dtype):
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
                                         nbins=nbins, ntypes=args.ntypes,
-                                        safe_exchange=args.safe_exchange)
+                                        safe_exchange=args.safe_exchange,
+                                        backend=args.backend)
     print("# Done .... ")
     banner(inp, ssim, args, args.input_file)
     print(f"# Mesh: {dict(ssim.mesh.shape)}")
@@ -243,12 +255,18 @@ def main_sharded(args, inp, dtype):
     r0 = ssim.row0
     print(f"{r0[0]} {r0[1]:e} {r0[2]:e} {r0[3]:e}  0.000")
 
+    import contextlib
+    prof = (jax.profiler.trace(args.profile) if args.profile
+            else contextlib.nullcontext())
     timer.barrier_start(TIME_TOTAL)
-    if args.timed:
-        trace = ssim.run_timed(timer, inp.ntimes)
-    else:
-        trace = ssim.run(inp.ntimes)
+    with prof:
+        if args.timed:
+            trace = ssim.run_timed(timer, inp.ntimes)
+        else:
+            trace = ssim.run(inp.ntimes)
     timer.barrier_stop(TIME_TOTAL)
+    if args.profile:
+        print(f"# profiler trace: {args.profile}")
 
     rows = ssim.thermo_trace(trace)
     t_total = timer.array[TIME_TOTAL]

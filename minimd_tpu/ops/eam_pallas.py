@@ -43,15 +43,21 @@ def _round_up(n, m):
 
 def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                           ntypes: int = 1, dtype=jnp.float32,
-                          degree: int | None = None, interpret: bool = False):
-    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial)."""
+                          degree: int | None = None, interpret: bool = False,
+                          nb_local=None, exchanges=None, fp_exchange=None):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
+
+    nb_local/exchanges/fp_exchange: device-local grid shape and halo hooks
+    for sharded execution (same contract as make_eam_force_grid); the
+    embedding-derivative halo between the passes rides the same hooks."""
     assert dtype == jnp.float32, "pallas EAM kernel is f32"
     h = halo_extent(geom)
     assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
 
-    nbx, nby, nbz = geom.nb
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
+    nb_loc = (nbx, nby, nbz)
     C = geom.capacity
-    M = geom.nslots
+    M = nbx * nby * nbz * C
     Yp = nby + 2
     LANE = _round_up(3 * C, 128)
 
@@ -187,12 +193,17 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
     s_spec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
                           memory_space=pltpu.VMEM)
 
+    # inside shard_map, pallas outputs must declare how they vary across
+    # the mesh (check_vma); device-local outputs vary over every axis
+    _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
+
     rho_call = pl.pallas_call(
         rho_kernel,
         grid=(nbz, nby),
         in_specs=view_specs(3) + [row_spec] * 3,
         out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
+                                       **_vma),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
@@ -204,9 +215,12 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             in_specs=view_specs(3) + view_specs(1) + [row_spec] * 4,
             out_specs=(row_spec, row_spec, row_spec, s_spec, s_spec),
             out_shape=(
-                *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),) * 3,
-                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+                *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
+                                       **_vma),) * 3,
+                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32,
+                                     **_vma),
+                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32,
+                                     **_vma),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -215,7 +229,8 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
 
         def force(x, typ):
             del typ
-            Xp = to_padded_soa(x, geom, h)
+            Xp = to_padded_soa(x, geom, h, nb_local=nb_loc,
+                               exchanges=exchanges)
             J = [pack_lanes(g) for g in Xp]
             Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
             jargs = [J[c] for c in range(3) for _off in range(9)]
@@ -223,7 +238,11 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
             rho = rho_call(*jargs, *Xi)
             valid = x[0] < 0.5 * _SENTINEL_BASE
             fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
-            fp_pad = pad_grid_int(fp, geom, h).astype(jnp.float32)
+            if fp_exchange is not None:
+                fp = fp_exchange(fp)
+            # fp halo: the reference's mid-force communicate
+            fp_pad = pad_grid_int(fp, geom, h, nb_local=nb_loc,
+                                  exchanges=exchanges).astype(jnp.float32)
             FP = pack_lanes(fp_pad)
             fp_i = fp.reshape(nbz, nby, nbx, C)
 

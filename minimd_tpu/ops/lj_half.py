@@ -1,0 +1,130 @@
+"""Half-neighbor LJ force — the parity option for the reference's
+`--half_neigh 1` Newton path (ref/force_lj.cpp:185-263).
+
+Each unordered pair is evaluated once: the stencil is restricted to
+lexicographically-positive offsets (plus an i<j triangular mask for the
+self cell), the i side accumulates normally, and the j side accumulates
+into a halo-PADDED force grid whose halo slabs are folded back onto the
+opposite interior edges afterwards — a scatter-free rendering of Newton's
+third law (static-slice adds only, like everything else in the hot path).
+
+Measured ~2x slower than the full-stencil kernels on TPU (the j-side
+reductions and the halo-fold adds outweigh the halved pair count — see
+CLAUDE.md), so this is a parity/validation option, not the default.
+
+Accounting matches the full-neighbor convention downstream: eng and
+virial are pre-doubled here so thermo sees identical magnitudes
+(force_lj.cpp:245-253 vs :441-442).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..cells import CellGeometry
+from .lj import LJParams
+from .pairgrid import halo_extent, stencil_slice, to_padded_soa
+
+
+def _fold_halo(g, h):
+    """Add the halo shells of a padded (Z+2h, Y+2h, X+2h, C) grid onto the
+    periodic interior and return the interior — the reverse of the halo
+    fill (the reference's reverse_communicate for Newton forces,
+    comm.cpp:320-361)."""
+    for axis in (0, 1, 2):
+        n = g.shape[axis] - 2 * h
+        lo = jnp.take(g, jnp.arange(0, h), axis=axis)
+        hi = jnp.take(g, jnp.arange(h + n, 2 * h + n), axis=axis)
+        g = jnp.take(g, jnp.arange(h, h + n), axis=axis)
+        # lo halo wraps onto the top edge, hi onto the bottom edge
+        top = jnp.take(g, jnp.arange(n - h, n), axis=axis) + lo
+        bot = jnp.take(g, jnp.arange(0, h), axis=axis) + hi
+        mid = jnp.take(g, jnp.arange(h, n - h), axis=axis)
+        g = jnp.concatenate([bot, mid, top], axis=axis)
+    return g
+
+
+def make_lj_force_half(geom: CellGeometry, params: LJParams,
+                       dtype=jnp.float32):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial).
+    Type-uniform parameters only (like the reference's Newton fast path)."""
+    assert params.uniform, "half-neighbor path requires uniform parameters"
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    h = halo_extent(geom)
+    nb = (nbx, nby, nbz)
+    cutsq = float(params.cutforcesq[0])
+    eps = float(params.epsilon[0])
+    sig6 = float(params.sigma6[0])
+    tri = jnp.triu(jnp.ones((C, C), dtype=bool), k=1)
+
+    # lexicographically-positive half of the stencil (z, y, x precedence)
+    half = [tuple(int(v) for v in o) for o in geom.stencil
+            if (o[2], o[1], o[0]) > (0, 0, 0)]
+
+    def _force(x, typ, evflag: bool):
+        del typ
+        Xp = to_padded_soa(x, geom, h)
+        Xi = [stencil_slice(g, (0, 0, 0), h, nb) for g in Xp]
+
+        f = [jnp.zeros((nbz, nby, nbx, C), dtype) for _ in range(3)]
+        pshape = Xp[0].shape
+        fpad = [jnp.zeros(pshape, dtype) for _ in range(3)]
+        eng = jnp.zeros((), dtype)
+        vir = jnp.zeros((), dtype)
+
+        def pair(Yd, mask_extra=None):
+            d = [Xi[c][..., :, None] - Yd[c][..., None, :] for c in range(3)]
+            rsq = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            mask = rsq < cutsq
+            if mask_extra is not None:
+                mask = mask & mask_extra
+            m = mask.astype(dtype)
+            sr2 = m / (rsq + (1.0 - m))
+            sr6 = sr2 * sr2 * sr2 * sig6
+            fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
+            return d, rsq, sr6, fc, m
+
+        for off in half:
+            Yd = [stencil_slice(g, off, h, nb) for g in Xp]
+            d, rsq, sr6, fc, m = pair(Yd)
+            fj = []
+            for c in range(3):
+                f[c] = f[c] + jnp.sum(fc * d[c], axis=-1)
+                fj.append(-jnp.sum(fc * d[c], axis=-2))
+            ox, oy, oz = off
+            zs = slice(h + oz, h + oz + nbz)
+            ys = slice(h + oy, h + oy + nby)
+            xs_ = slice(h + ox, h + ox + nbx)
+            for c in range(3):
+                fpad[c] = fpad[c].at[zs, ys, xs_].add(fj[c])
+            if evflag:
+                eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * m)
+                vir = vir + jnp.sum(rsq * fc)
+
+        # self cell: i < j triangular, both sides interior
+        d, rsq, sr6, fc, m = pair(Xi, mask_extra=tri)
+        for c in range(3):
+            f[c] = f[c] + jnp.sum(fc * d[c], axis=-1) \
+                - jnp.sum(fc * d[c], axis=-2)
+        if evflag:
+            eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * m)
+            vir = vir + jnp.sum(rsq * fc)
+
+        # Newton reverse-communicate: fold halo contributions back
+        for c in range(3):
+            f[c] = f[c] + _fold_halo(fpad[c], h)
+
+        M = geom.nslots
+        fout = jnp.stack([fc_.reshape(M) for fc_ in f], axis=0)
+        # pre-doubled so downstream full-neighbor accounting holds
+        return fout, eng * (8.0 * eps), vir
+
+    def force_ev(x, typ):
+        return _force(x, typ, True)
+
+    def force_noev(x, typ):
+        return _force(x, typ, False)
+
+    return force_ev, force_noev

@@ -42,16 +42,22 @@ def _round_up(n, m):
 
 
 def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
-                         dtype=jnp.float32, interpret: bool = False):
-    """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial)."""
+                         dtype=jnp.float32, interpret: bool = False,
+                         nb_local=None, exchanges=None):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial).
+
+    nb_local/exchanges: device-local grid shape and per-axis halo hooks
+    for sharded execution inside shard_map (same contract as
+    ops/lj_grid.make_lj_force_grid) — the halo fill is XLA either way;
+    only the pair loop runs in the kernel."""
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"
     h = halo_extent(geom)
     assert h == 1, "pallas LJ kernel assumes binsize >= cutneigh (h == 1)"
 
-    nbx, nby, nbz = geom.nb
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
-    M = geom.nslots
+    M = nbx * nby * nbz * C
     Yp = nby + 2
     LANE = _round_up(3 * C, 128)
     cutsq = float(params.cutforcesq[0])
@@ -145,12 +151,19 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
             packed.append(j.reshape(nbz + 2, Yp, nbx, LANE))
         return packed
 
+    # inside shard_map, pallas outputs must declare how they vary across
+    # the mesh (check_vma); device-local outputs vary over every axis
+    _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
+
     def build(evflag: bool):
         kfn = functools.partial(kernel, evflag=evflag)
         out_shape = (
-            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),) * 3,
-            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32),
+            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
+                                   **_vma),) * 3,
+            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32,
+                                 **_vma),
+            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32,
+                                 **_vma),
         )
         # nine (dz, dy)-offset views of each J array: per-program blocks are
         # single rows, so VMEM stays constant at any system size
@@ -181,7 +194,8 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
 
         def force(x, typ):
             del typ
-            Xp = to_padded_soa(x, geom, h)
+            Xp = to_padded_soa(x, geom, h, nb_local=(nbx, nby, nbz),
+                               exchanges=exchanges)
             J = pack_candidates(Xp)
             Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
             args = [J[c] for c in range(3) for _off in range(9)] + Xi

@@ -1,0 +1,185 @@
+"""Pallas TPU kernel for the local (one-hot pull) rebin.
+
+cells.rebin_local is algorithmically right for TPU (no sort, no scatter)
+but pays ~50 GB of HBM traffic at 864k atoms: XLA materializes the
+(ncells, C, C) one-hot dot operand 27 times and reads it once per
+channel. Here the one-hot lives only in VMEM: per (z, y) cell row the
+kernel builds the selection against the lane-packed 27-cell candidate
+window (the force kernels' layout) and contracts all channels in place.
+Rebin cost at 864k drops from ~54 ms to the few ms the candidate DMA
+actually requires.
+
+Candidate ordering is (dz, dy) view-major with [dx=-1 | dx=0 | dx=+1]
+lane packing — identical to rebin_local's (offset, slot) lexicographic
+order, so the produced layout is bit-identical to rebin_local's (tested).
+
+Like rebin_local, correctness rests on the skin guarantee (an atom moves
+at most one cell between rebinnings); movers beyond that are counted in
+`overflow` on the XLA side, and per-cell capacity overflow is counted in
+the kernel. See cells.rebin_local for the reference mapping
+(Neighbor::binatoms, ref/neighbor.cpp:289-343, + Atom::sort).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..cells import (CellGeometry, _SENTINEL_BASE, coord_to_cell, pbc_wrap,
+                     sentinel_positions)
+from .pairgrid import pad_grid_int
+
+_NCH = 7  # x0 x1 x2 v0 v1 v2 typ
+
+
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
+                      interpret: bool = False):
+    """Returns fn(x, v, typ) -> (x, v, typ, overflow), drop-in for
+    cells.rebin_local (f32, TPU)."""
+    assert dtype == jnp.float32, "pallas rebin kernel is f32"
+    nbx, nby, nbz = geom.nb
+    assert min(geom.nb) >= 3, "local rebin needs distinct wrap neighbors"
+    C = geom.capacity
+    M = geom.nslots
+    Yp = nby + 2
+    LANE = _round_up(3 * C, 128)
+
+    def kernel(*refs):
+        cid_refs = refs[0:9]                      # (1,1,nbx,LANE) int32
+        val_refs = refs[9:9 + 9 * _NCH]           # coord-major, then view
+        out_refs = refs[9 + 9 * _NCH:9 + 10 * _NCH]   # (1,1,nbx,C)
+        occ_ref = refs[9 + 10 * _NCH]             # (1,1,nbx,C)
+        ovf_ref = refs[9 + 10 * _NCH + 1]         # (1,1,8,128)
+
+        z = pl.program_id(0)
+        y = pl.program_id(1)
+        row0 = (z * nby + y) * nbx
+        target = row0 + jax.lax.broadcasted_iota(jnp.int32, (nbx, 1), 0)
+
+        rank_row = jax.lax.broadcasted_iota(
+            jnp.int32, (C, LANE), 0).astype(jnp.float32)
+        base = jnp.zeros((nbx, 1), jnp.float32)
+        outs = [jnp.zeros((nbx, C), jnp.float32) for _ in range(_NCH)]
+        # Mosaic has no cumsum: the per-lane inclusive prefix sum is a dot
+        # with an upper-triangular ones matrix (exact in f32 for these
+        # small integer counts), which the MXU eats for free
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+               <= jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+               ).astype(jnp.float32)
+
+        for k in range(9):                        # (dz, dy) views in order
+            cand = cid_refs[k][0, 0]              # (nbx, LANE)
+            sel = cand == target
+            self_ = sel.astype(jnp.float32)
+            csum = jax.lax.dot_general(
+                self_, tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (nbx, LANE)
+            # per-lane float rank; unselected lanes get -1 so a single
+            # equality test builds the one-hot
+            rank = jnp.where(sel, base + csum - 1.0, -1.0)
+            # one-hot contraction on the VPU: a batched MXU dot would be
+            # exact only at Precision.HIGHEST, and Mosaic lowers small
+            # batched matmuls poorly (~10x slower than these masked sums)
+            onehot = (rank[:, None, :] == rank_row[None, :, :]
+                      ).astype(jnp.float32)       # (nbx, C, LANE)
+            for c in range(_NCH):
+                v = val_refs[c * 9 + k][0, 0]     # (nbx, LANE)
+                outs[c] = outs[c] + jnp.sum(onehot * v[:, None, :], axis=-1)
+            base = base + jnp.sum(self_, axis=-1, keepdims=True)
+
+        for c in range(_NCH):
+            out_refs[c][0, 0] = outs[c]
+        occ = (jax.lax.broadcasted_iota(jnp.int32, (nbx, C), 1)
+               .astype(jnp.float32) < base)
+        occ_ref[0, 0] = occ.astype(jnp.float32)
+        over = jnp.sum(jnp.maximum(base - float(C), 0.0))
+        cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
+        ovf_ref[0, 0] = jnp.where(cell00, over, 0.0)
+
+    def pack_lanes(g, fill):
+        """padded (Zp, Yp, Xp_cells, C) -> (Zp, Yp, nbx, LANE)."""
+        j = jnp.concatenate([g[:, :, 0:nbx], g[:, :, 1:nbx + 1],
+                             g[:, :, 2:nbx + 2]], axis=-1)
+        if LANE > 3 * C:
+            pad = jnp.full((*j.shape[:-1], LANE - 3 * C), fill, j.dtype)
+            j = jnp.concatenate([j, pad], axis=-1)
+        return j.reshape(nbz + 2, Yp, nbx, LANE)
+
+    def view_specs(n):
+        return [
+            pl.BlockSpec((1, 1, nbx, LANE),
+                         functools.partial(
+                             lambda dz, dy, z, y: (z + dz, y + dy, 0, 0),
+                             dz, dy),
+                         memory_space=pltpu.VMEM)
+            for _c in range(n) for dz in (0, 1, 2) for dy in (0, 1, 2)
+        ]
+
+    row_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+                            memory_space=pltpu.VMEM)
+    s_spec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nbz, nby),
+        in_specs=view_specs(1) + view_specs(_NCH),
+        out_specs=(*(row_spec,) * _NCH, row_spec, s_spec),
+        out_shape=(
+            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),)
+            * (_NCH + 1),
+            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def rebin(x, v, typ):
+        valid = x[0] < 0.5 * _SENTINEL_BASE
+        xw = pbc_wrap(x, geom.prd)
+        cid, xs = coord_to_cell(xw, geom)
+        cid = jnp.where(valid, cid, jnp.int32(-1))
+
+        # movement guard (same as rebin_local): new cell within +-1 of the
+        # slot's cell, else the pull below misses it — count loudly
+        old = jnp.arange(M, dtype=jnp.int32) // C
+        def cxyz(c):
+            return c % nbx, (c // nbx) % nby, c // (nbx * nby)
+        ox_, oy_, oz_ = cxyz(old)
+        nx_, ny_, nz_ = cxyz(jnp.maximum(cid, 0))
+        def near(a, b, n):
+            d = jnp.abs(a - b)
+            return jnp.minimum(d, n - d) <= 1
+        ok = near(ox_, nx_, nbx) & near(oy_, ny_, nby) & near(oz_, nz_, nbz)
+        overflow = jnp.sum(valid & ~ok).astype(jnp.int32)
+
+        cid_pack = pack_lanes(pad_grid_int(cid, geom, 1), -1)
+        chans = [xs[0], xs[1], xs[2], v[0], v[1], v[2],
+                 typ.astype(jnp.float32)]
+        packs = [pack_lanes(pad_grid_int(c, geom, 1), 0.0) for c in chans]
+        args = ([cid_pack] * 9
+                + [p for p in packs for _off in range(9)])
+
+        *outs, occg, ovf = call(*args)
+        occ = occg.reshape(M) > 0.5
+        sent = sentinel_positions(M, dtype)
+        new_x = jnp.stack([jnp.where(occ, outs[d].reshape(M), sent[d])
+                           for d in range(3)], axis=0)
+        new_v = jnp.stack([jnp.where(occ, outs[3 + d].reshape(M), 0.0)
+                           for d in range(3)], axis=0)
+        new_t = jnp.where(occ, outs[6].reshape(M).astype(jnp.int32), 0)
+        overflow = overflow + jnp.sum(ovf).astype(jnp.int32)
+        return new_x, new_v, new_t, overflow
+
+    return rebin

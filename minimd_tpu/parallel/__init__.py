@@ -46,7 +46,7 @@ class ShardedSimulation:
 
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
-                   safe_exchange=False, ntypes: int = 4):
+                   safe_exchange=False, ntypes: int = 4, backend: str = "auto"):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -116,15 +116,15 @@ class ShardedSimulation:
             run_fn, sharding = make_sharded_lj_run(
                 geom, params, mesh, scales, mass=mass, dt=inp.dt,
                 dtforce=dtforce, natoms=natoms,
-                neigh_every=inp.neigh_every, dtype=dtype,
-                exchange_hops=hops)
+                neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
+                dtype=dtype, exchange_hops=hops, backend=backend)
             force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
         else:
             run_fn, sharding = make_sharded_eam_run(
                 geom, tables, mesh, scales, mass=mass, dt=inp.dt,
                 dtforce=dtforce, natoms=natoms,
-                neigh_every=inp.neigh_every, dtype=dtype,
-                exchange_hops=hops)
+                neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
+                dtype=dtype, exchange_hops=hops, backend=backend)
             from ..ops.eam_grid import make_eam_force_grid
             force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
 
@@ -180,8 +180,8 @@ class ShardedSimulation:
 
     def thermo_trace(self, trace):
         """Thermo rows at thermo_nstat cadence, including step 0 — same
-        shape as Simulation.thermo_trace (every sharded step carries
-        energy, so no trailing recompute is needed)."""
+        shape as Simulation.thermo_trace (the sharded loop always runs the
+        final step with evflag on, so the trailing row carries energy)."""
         nstat = self.inp.thermo_nstat
         rows = [self.row0]
         for n in range(len(trace)):

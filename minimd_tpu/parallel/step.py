@@ -169,14 +169,21 @@ def make_sharded_lj_run(
     dtforce: float,
     natoms: int,
     neigh_every: int,
+    nstat: int = 100,
     dtype=jnp.float32,
     exchange_hops: int = 1,
+    backend: str = "auto",
 ):
     """Full sharded run loop: lax.scan over timesteps with in-scan atom
     migration on the reneighbor cadence (the complete multi-chip analog of
     Simulation.run). Returns (run_fn, sharding); run_fn maps
     (x, v, f, typ, valid, ntimes_static) ->
-    (x, v, f, typ, valid, overflow, trace)."""
+    (x, v, f, typ, valid, overflow, trace).
+
+    backend: "auto" uses the hand-written Pallas pair kernel per device
+    when eligible (f32, uniform types, h == 1, accelerator); "pallas"
+    forces it (interpreted on CPU meshes — slow, test-only); "xla" keeps
+    the XLA grid loop."""
     from .comm import make_exchange_rebin
 
     nb_local = local_grid_shape(geom, mesh)
@@ -193,8 +200,21 @@ def make_sharded_lj_run(
     spec1 = P("z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
 
+    on_cpu = jax.default_backend() == "cpu"
+    use_pallas = (backend != "xla" and dtype == jnp.float32
+                  and params.uniform and h == 1
+                  and (backend == "pallas" or not on_cpu))
+    if use_pallas:
+        from ..ops.lj_pallas import make_lj_force_pallas
+        p_ev, p_noev = make_lj_force_pallas(
+            geom, params, dtype=dtype, interpret=on_cpu,
+            nb_local=(lx, ly, lz), exchanges=exchanges)
+
     def local_force(x_local, typ_local, evflag=True):
         flat = x_local.reshape(3, -1)
+        if use_pallas:
+            f, eng, vir = (p_ev if evflag else p_noev)(flat, None)
+            return f.reshape(3, lz, ly, lx, C), eng, vir
         Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
                            exchanges=exchanges)
         Tp = None
@@ -227,7 +247,21 @@ def make_sharded_lj_run(
             x, v, typ, valid, ovf = jax.lax.cond(
                 (n + 1) % neigh_every == 0, reneigh, lambda a: a,
                 (x, v, typ, valid, ovf))
-            f, eng, vir = local_force(x, typ)
+            # evflag only on thermo steps + the final step (so trace[-1]
+            # always carries energy), like integrate.cpp:101-192
+            def _noev(a, b):
+                # noev accumulators are constant zeros; mark them
+                # device-varying so both cond branches type identically
+                ff, e, w = local_force(a, b, False)
+                return (ff, jax.lax.pvary(e, ("z", "y", "x")),
+                        jax.lax.pvary(w, ("z", "y", "x")))
+
+            if nstat > 0:
+                ev = ((n + 1) % nstat == 0) | (n == ntimes - 1)
+                f, eng, vir = jax.lax.cond(
+                    ev, lambda a, b: local_force(a, b, True), _noev, x, typ)
+            else:
+                f, eng, vir = _noev(x, typ)
             v = v + dtf_c * f
             eng = jax.lax.psum(eng, ("z", "y", "x"))
             vir = jax.lax.psum(vir, ("z", "y", "x"))
@@ -250,10 +284,14 @@ def make_sharded_lj_run(
 
     def run(x, v, f, typ, valid, ntimes: int):
         if ntimes not in _cache:
+            # check_vma off when the pallas kernel runs per device: vma
+            # propagation through (interpreted) pallas_call is not
+            # supported by jax yet
             _cache[ntimes] = jax.jit(jax.shard_map(
                 partial(sharded_scan, ntimes=ntimes), mesh=mesh,
                 in_specs=(spec, spec, spec, spec1, spec1),
                 out_specs=(spec, spec, spec, spec1, spec1, P(), P()),
+                check_vma=not use_pallas,
             ))
         return _cache[ntimes](x, v, f, typ, valid)
 
@@ -271,8 +309,10 @@ def make_sharded_eam_run(
     dtforce: float,
     natoms: int,
     neigh_every: int,
+    nstat: int = 100,
     dtype=jnp.float32,
     exchange_hops: int = 1,
+    backend: str = "auto",
 ):
     """Sharded EAM run loop. The embedding-derivative halo between the two
     force passes rides the same ppermute hooks as the position halo — the
@@ -290,8 +330,18 @@ def make_sharded_eam_run(
     exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
     exchange_rebin = make_exchange_rebin(geom, mesh, dtype,
                                         hops=exchange_hops)
-    force_ev, _ = make_eam_force_grid(
-        geom, tables, dtype=dtype, nb_local=(lx, ly, lz), exchanges=exchanges)
+    on_cpu = jax.default_backend() == "cpu"
+    use_pallas = (backend != "xla" and dtype == jnp.float32 and h == 1
+                  and (backend == "pallas" or not on_cpu))
+    if use_pallas:
+        from ..ops.eam_pallas import make_eam_force_pallas
+        force_ev, force_noev = make_eam_force_pallas(
+            geom, tables, dtype=dtype, interpret=on_cpu,
+            nb_local=(lx, ly, lz), exchanges=exchanges)
+    else:
+        force_ev, force_noev = make_eam_force_grid(
+            geom, tables, dtype=dtype, nb_local=(lx, ly, lz),
+            exchanges=exchanges)
 
     spec = P(None, "z", "y", "x", None)
     spec1 = P("z", "y", "x", None)
@@ -316,7 +366,18 @@ def make_sharded_eam_run(
             x, v, typ, valid, ovf = jax.lax.cond(
                 (n + 1) % neigh_every == 0, reneigh, lambda a: a,
                 (x, v, typ, valid, ovf))
-            fg, eng, vir = force_ev(x.reshape(3, -1), None)
+            def _noev(a):
+                ff, e, w = force_noev(a, None)
+                return (ff, jax.lax.pvary(e, ("z", "y", "x")),
+                        jax.lax.pvary(w, ("z", "y", "x")))
+
+            if nstat > 0:
+                ev = ((n + 1) % nstat == 0) | (n == ntimes - 1)
+                fg, eng, vir = jax.lax.cond(
+                    ev, lambda a: force_ev(a, None), _noev,
+                    x.reshape(3, -1))
+            else:
+                fg, eng, vir = _noev(x.reshape(3, -1))
             f = fg.reshape(gshape)
             v = v + dtf_c * f
             eng = jax.lax.psum(eng, ("z", "y", "x"))
@@ -338,10 +399,14 @@ def make_sharded_eam_run(
 
     def run(x, v, f, typ, valid, ntimes: int):
         if ntimes not in _cache:
+            # check_vma off when the pallas kernel runs per device: vma
+            # propagation through (interpreted) pallas_call is not
+            # supported by jax yet
             _cache[ntimes] = jax.jit(jax.shard_map(
                 partial(sharded_scan, ntimes=ntimes), mesh=mesh,
                 in_specs=(spec, spec, spec, spec1, spec1),
                 out_specs=(spec, spec, spec, spec1, spec1, P(), P()),
+                check_vma=not use_pallas,
             ))
         return _cache[ntimes](x, v, f, typ, valid)
 

@@ -57,6 +57,7 @@ class Simulation:
         cell_chunk: int | None = None,
         potential_path: str | None = None,
         backend: str = "auto",   # 'auto' | 'pallas' | 'xla'
+        half_neigh: bool = False,
     ) -> "Simulation":
         if inp.datafile is not None:
             from .lammps_data import read_lammps_data
@@ -76,6 +77,12 @@ class Simulation:
             cutforce = inp.force_cut
 
             def make_force(geom):
+                if half_neigh:
+                    # Newton parity option (ref force_lj.cpp:185-263);
+                    # measured ~2x slower than full stencils on TPU, kept
+                    # for --half_neigh 1 parity (SURVEY.md P7)
+                    from .ops.lj_half import make_lj_force_half
+                    return make_lj_force_half(geom, params, dtype=dtype)
                 if Simulation._use_pallas(geom, params, dtype, backend):
                     from .ops.lj_pallas import make_lj_force_pallas
                     return make_lj_force_pallas(geom, params, dtype=dtype)
@@ -281,9 +288,20 @@ class Simulation:
                 return c, jnp.stack([t, u, p, jnp.zeros_like(t)])
 
             # local (one-hot pull) rebin needs distinct wrap neighbors;
-            # tiny grids fall back to the sort-based path
-            rebin_fn = (cells.rebin_local if min(geom.nb) >= 3
-                        else cells.rebin_lean)
+            # tiny grids fall back to the sort-based path. On TPU/f32 at
+            # large sizes the Pallas kernel builds the one-hot in VMEM
+            # (cells.rebin_local pays ~50 GB of HBM one-hot traffic at
+            # 864k: 54 -> 28 ms/call; bit-identical layout, tested). Below
+            # ~0.4M slots the XLA one-hot measures slightly faster.
+            if (self.dtype == jnp.float32 and min(geom.nb) >= 3
+                    and geom.nslots >= 400_000
+                    and jax.default_backend() not in ("cpu",)):
+                from .ops.rebin_pallas import make_rebin_pallas
+                _rp = make_rebin_pallas(geom)
+                rebin_fn = lambda x, v, typ, _g: _rp(x, v, typ)
+            else:
+                rebin_fn = (cells.rebin_local if min(geom.nb) >= 3
+                            else cells.rebin_lean)
 
             def reneigh_step(c, n):
                 x, v, f, typ = c

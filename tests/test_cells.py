@@ -67,3 +67,34 @@ def test_grid_offset_declares_clearance():
     r = np.mod(x - np.asarray(geom.offset), bs)
     clear = np.minimum(r, bs - r).min()
     assert clear > 1e-3 * bs.min()
+
+
+def test_rebin_pallas_matches_rebin_local():
+    """The Pallas rebin kernel (interpret mode on CPU) must reproduce
+    cells.rebin_local bit-for-bit: same candidate ordering, same one-hot
+    pull, same sentinel restoration."""
+    import jax
+
+    from minimd_tpu import create
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.ops.rebin_pallas import make_rebin_pallas
+    from minimd_tpu.state import init_state
+
+    inp = builtin_deck("lj")
+    n = 8
+    box = create.create_box(n, n, n, inp.rho)
+    x, v = create.create_atoms(n, n, n, inp.rho, box)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x)
+    st = init_state(x, v, np.zeros(len(x), np.int32), geom,
+                    dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    xd = st.x + jnp.asarray(0.12 * np.sign(rng.normal(size=st.x.shape)),
+                            jnp.float32)
+
+    xr, vr, tr, ov = cells.rebin_local(xd, st.v, st.typ, geom)
+    rp = jax.jit(make_rebin_pallas(geom, interpret=True))
+    xp, vp, tp, op = rp(xd, st.v, st.typ)
+    assert int(ov) == int(op)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
+    np.testing.assert_array_equal(np.asarray(vr), np.asarray(vp))
+    np.testing.assert_array_equal(np.asarray(tr), np.asarray(tp))

@@ -67,3 +67,19 @@ def test_cli_sharded_timed_yaml(tmp_path, monkeypatch):
 def test_cli_device_overcommit_errors():
     with pytest.raises(SystemExit):
         main(["-s", "16", "-n", "5", "--devices", "4096"])
+
+
+def test_cli_profile_writes_trace(tmp_path):
+    """--profile wraps the run in jax.profiler.trace (SURVEY.md 5.1)."""
+    d = tmp_path / "trace"
+    out = _run(["-s", "6", "-n", "10", "--profile", str(d)])
+    assert "# profiler trace:" in out
+    assert any(d.rglob("*"))
+
+
+def test_cli_half_neigh_runs():
+    """--half_neigh 1 drives the Newton parity kernel end-to-end; the
+    step-0 golden row must be unchanged (identical physics)."""
+    out = _run(["-s", "6", "-n", "10", "--half_neigh", "1"])
+    assert "0 1.440000e+00" in out
+    assert "PERF_SUMMARY" in out

@@ -94,3 +94,45 @@ def test_capacity_regrow_preserves_physics():
     # f64 summation order
     np.testing.assert_allclose(tb[:, 0], ta[:, 0], rtol=1e-12, atol=0)
     assert int(b.state.overflow) == 0
+
+
+def test_half_neighbor_matches_full():
+    """--half_neigh 1 parity path (ref force_lj.cpp:185-263): each pair
+    evaluated once with Newton halo-fold accumulation must reproduce the
+    full-stencil forces/energy/virial to f64 summation-order noise."""
+    import jax
+
+    from minimd_tpu import cells, create
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.ops.lj import LJParams
+    from minimd_tpu.ops.lj_grid import make_lj_force_grid
+    from minimd_tpu.ops.lj_half import make_lj_force_half
+    from minimd_tpu.state import init_state
+
+    inp = builtin_deck("lj")
+    n = 8
+    box = create.create_box(n, n, n, inp.rho)
+    x, v = create.create_atoms(n, n, n, inp.rho, box)
+    x = x + np.random.default_rng(3).normal(0, 0.03, x.shape)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x)
+    st = init_state(x, v, np.zeros(len(x), np.int32), geom,
+                    dtype=jnp.float64)
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+
+    ff, ef, wf = jax.jit(make_lj_force_grid(geom, params,
+                                            dtype=jnp.float64)[0])(
+        st.x, st.typ)
+    fh, eh, wh = jax.jit(make_lj_force_half(geom, params,
+                                            dtype=jnp.float64)[0])(
+        st.x, st.typ)
+    fscale = float(jnp.abs(ff).max())
+    assert float(jnp.abs(fh - ff).max()) / fscale < 1e-13
+    assert abs(float(eh - ef) / float(ef)) < 1e-13
+    assert abs(float(wh - wf) / float(wf)) < 1e-13
+
+    # noev variant: same forces, zero accumulators
+    fh2, eh2, _ = jax.jit(make_lj_force_half(geom, params,
+                                             dtype=jnp.float64)[1])(
+        st.x, st.typ)
+    np.testing.assert_array_equal(np.asarray(fh2), np.asarray(fh))
+    assert float(eh2) == 0.0
