@@ -50,7 +50,7 @@ def resume(path, **sim_kwargs):
     from .sim import Simulation
     from .state import init_state
     from .units import thermo_scales
-    from .config import FORCE_EAM, FORCE_LJ, UNITS_METAL
+    from .config import FORCE_LJ, UNITS_METAL
     from .ops.lj import LJParams
 
     inp, prd, x, v, typ, mass, step = load(path)

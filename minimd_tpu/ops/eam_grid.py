@@ -21,9 +21,7 @@ For exact-table f64 validation (CPU) use ops/eam.py.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..cells import CellGeometry, _SENTINEL_BASE
 from ..eam_file import PairPolys, build_pair_polys

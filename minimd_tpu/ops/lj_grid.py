@@ -16,7 +16,6 @@ sharded runs (ppermute halo via `to_padded_soa`'s exchange hooks).
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..cells import CellGeometry
 from .lj import LJParams

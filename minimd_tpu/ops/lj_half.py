@@ -20,7 +20,6 @@ virial are pre-doubled here so thermo sees identical magnitudes
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..cells import CellGeometry
 from .lj import LJParams

@@ -12,7 +12,6 @@ buffer-capacity assertion instead of a multi-hop fallback).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

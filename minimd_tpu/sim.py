@@ -10,7 +10,6 @@ fixed cadence via `lax.cond`. No data-dependent shapes anywhere.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +17,7 @@ import numpy as np
 
 from . import cells, create, thermo
 from .config import FORCE_EAM, FORCE_LJ, In, UNITS_METAL
-from .ops.lj import LJParams, make_lj_force
+from .ops.lj import LJParams
 from .state import MDState, init_state
 from .units import ThermoScales, thermo_scales
 

@@ -14,7 +14,6 @@ Examples:
 """
 
 import argparse
-import os
 import pathlib
 import sys
 
