@@ -123,8 +123,13 @@ def main():
         # thermo cadence is 100, so 200 steps yields 3 comparison rows
         # in the deterministic early-trajectory window.
         if args.tpu:
+            # eam 20/10000: post-ramp-dominated trace passes in f32
+            # (0.28 aggregate); eam 40 stays at 1000 steps because the
+            # 10000-step 256k EAM scan reproducibly crashes the axon TPU
+            # worker (2/2 attempts, "kernel fault") - and is XFAIL per
+            # the parity evidence below either way.
             cases = [("lj", 40, 2000), ("lj", 60, 1000),
-                     ("eam", 40, 1000)]
+                     ("eam", 20, 10000), ("eam", 40, 1000)]
         else:
             cases = [("lj", 40, 200), ("lj", 60, 200),
                      ("eam", 40, 200), ("eam", 60, 200)]

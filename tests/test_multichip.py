@@ -533,3 +533,62 @@ def test_sharded_pallas_backend_matches_xla():
                                rtol=5e-6)
     np.testing.assert_allclose(etraces["pallas"][:, 1], etraces["xla"][:, 1],
                                rtol=5e-5)
+
+
+def test_sharded_eam_h2_thick_slab_halo():
+    """Sharded EAM on a fine grid (binsize < cutneigh -> h=2 stencil):
+    2-cell-thick halo slabs AND the fp mid-force halo at h=2 must
+    reproduce single-device dynamics."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from minimd_tpu.ops.eam import EAMTables
+    from minimd_tpu.ops.eam_grid import make_eam_force_grid
+    from minimd_tpu.ops.pairgrid import halo_extent
+    from minimd_tpu.parallel.step import make_sharded_eam_run
+
+    inp = builtin_deck("eam")
+    nx = 8
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    tables = EAMTables.from_funcfl()
+    sc = thermo_scales(1, len(x), box.volume)
+    v = create.create_velocity(v, inp.t_request, len(x), tables.mass,
+                               sc.t_scale)
+    # binsize just under cutneigh: h=2 with a bindist-pruned stencil
+    # (keeps the unrolled two-pass EAM graphs small enough for CI)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(6, 6, 6))
+    assert halo_extent(geom) == 2
+    st = init_state(x, v, np.zeros(len(x), np.int32), geom,
+                    dtype=jnp.float64)
+    dtf = 0.5 * inp.dt / sc.mvv2e / tables.mass
+
+    force = jax.jit(make_eam_force_grid(geom, tables, dtype=jnp.float64)[0])
+    f0 = force(st.x, st.typ)[0]
+    xx, vv, ff, tt = st.x, st.v, f0, st.typ
+    ts = []
+    for i in range(15):
+        vv = vv + dtf * ff
+        xx = xx + inp.dt * vv
+        if (i + 1) % inp.neigh_every == 0:
+            xx, vv, tt, _ = cells.rebin_lean(xx, vv, tt, geom)
+        ff, _, _ = force(xx, tt)
+        vv = vv + dtf * ff
+        ts.append(float(jnp.sum(vv * vv)) * tables.mass * sc.t_scale)
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
+    run, sharding = make_sharded_eam_run(
+        geom, tables, mesh, sc, mass=tables.mass, dt=inp.dt, dtforce=dtf,
+        natoms=len(x), neigh_every=inp.neigh_every, dtype=jnp.float64)
+    nbx, nby, nbz = geom.nb
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
+    sh1 = NamedSharding(mesh, P("z", "y", "x", None))
+    args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
+            for a in (st.x, st.v, f0)]
+    targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
+    varg = jax.device_put(np.asarray(st.valid).reshape(gs1), sh1)
+    *_, okg, ovf, tr8 = run(*args, targ, varg, 15)
+    assert int(ovf) == 0
+    assert int(np.asarray(okg).sum()) == len(x)
+    np.testing.assert_allclose(np.asarray(tr8)[:, 0], np.array(ts),
+                               rtol=1e-11, atol=0)
