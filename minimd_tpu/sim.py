@@ -268,15 +268,32 @@ class Simulation:
             # counts ride the trace instead of the carry.
             def finish(x, v, typ, n):
                 if nstat > 0:
-                    evflag = (n + 1) % nstat == 0
+                    # ev on thermo steps + the final step, so trace[-1]
+                    # always carries a thermo row (like the sharded loop
+                    # and the reference's final compute, ljs.cpp:477-483)
+                    evflag = ((n + 1) % nstat == 0) | (n == ntimes - 1)
                     f, eng, vir = jax.lax.cond(evflag, force_ev, force_noev,
                                                x, typ)
                 else:
                     f, eng, vir = force_noev(x, typ)
                 v = v + dtf * f
-                t = thermo.temperature(v, mass, scales)
-                u = thermo.energy(eng, natoms, scales)
-                p = thermo.pressure(t, vir, scales)
+
+                # thermo only on nstat steps, like the reference
+                # (thermo.cpp:61-66): the temperature reduction reads the
+                # whole v array and is measurable glue at large sizes
+                def row(v, eng, vir):
+                    t = thermo.temperature(v, mass, scales)
+                    u = thermo.energy(eng, natoms, scales)
+                    p = thermo.pressure(t, vir, scales)
+                    return t, u, p
+
+                if nstat > 0:
+                    zero = jnp.zeros((), v.dtype)
+                    t, u, p = jax.lax.cond(
+                        evflag, row,
+                        lambda *_a: (zero, zero, zero), v, eng, vir)
+                else:
+                    t, u, p = row(v, eng, vir)
                 return (x, v, f, typ), (t, u, p)
 
             def plain(c, n):

@@ -100,9 +100,9 @@ def test_all_shipped_decks_parse_and_run():
     # conservation over this transient.
     comd.nx = comd.ny = comd.nz = 6
     sim = Simulation.from_input(comd, dtype=jnp.float64, backend="xla")
-    trace = sim.run(40)
-    assert np.all(np.isfinite(trace))
-    e0 = 1.5 * trace[0][0] + trace[0][1]
-    e1 = 1.5 * trace[-1][0] + trace[-1][1]
+    rows = sim.thermo_trace(sim.run(40))
+    assert np.all(np.isfinite(np.asarray([r[1:] for r in rows])))
+    e0 = 1.5 * rows[0][1] + rows[0][2]
+    e1 = 1.5 * rows[-1][1] + rows[-1][2]
     assert abs(e1 - e0) / abs(e0) < 0.1
     assert int(sim.state.overflow) == 0
