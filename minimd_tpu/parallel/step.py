@@ -267,7 +267,12 @@ def make_sharded_lj_run(
             t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
             u = eng * scales.e_scale / natoms
             p = (t * scales.dof_boltz + vir) * scales.p_scale
-            return (x, v, f, typ, valid, ovf), jnp.stack([t, u, p])
+            row = jnp.stack([t, u, p])
+            if nstat > 0:
+                # thermo rows only on the nstat cadence (+ final step),
+                # matching the single-device scan and thermo.cpp:61-66
+                row = jnp.where(ev, row, jnp.zeros_like(row))
+            return (x, v, f, typ, valid, ovf), row
 
         # overflow starts device-varying (axis_index) so the cond branches
         # agree on shard_map's varying-axes typing
@@ -384,7 +389,12 @@ def make_sharded_eam_run(
             t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
             u = eng * scales.e_scale / natoms
             p = (t * scales.dof_boltz + vir) * scales.p_scale
-            return (x, v, f, typ, valid, ovf), jnp.stack([t, u, p])
+            row = jnp.stack([t, u, p])
+            if nstat > 0:
+                # thermo rows only on the nstat cadence (+ final step),
+                # matching the single-device scan and thermo.cpp:61-66
+                row = jnp.where(ev, row, jnp.zeros_like(row))
+            return (x, v, f, typ, valid, ovf), row
 
         ovf0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
                 + jax.lax.axis_index("x") * 0).astype(jnp.int32)

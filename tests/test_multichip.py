@@ -179,7 +179,8 @@ def test_sharded_eam_run_with_fp_halo(shared_system):
     mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
     run, sharding = make_sharded_eam_run(
         geom, tables, mesh, sc, mass=tables.mass, dt=inp.dt, dtforce=dtf,
-        natoms=len(x), neigh_every=inp.neigh_every, dtype=jnp.float64)
+        natoms=len(x), neigh_every=inp.neigh_every, nstat=1,
+        dtype=jnp.float64)
     nbx, nby, nbz = geom.nb
     gs = (3, nbz, nby, nbx, geom.capacity)
     gs1 = (nbz, nby, nbx, geom.capacity)
@@ -400,7 +401,8 @@ def test_sharded_per_type_params_matches_single_device():
     mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
     run, sharding = make_sharded_lj_run(
         geom, params, mesh, sc, mass=1.0, dt=inp.dt, dtforce=dtf,
-        natoms=natoms, neigh_every=inp.neigh_every, dtype=jnp.float64)
+        natoms=natoms, neigh_every=inp.neigh_every, nstat=1,
+        dtype=jnp.float64)
     nbx, nby, nbz = geom.nb
     gs = (3, nbz, nby, nbx, geom.capacity)
     gs1 = (nbz, nby, nbx, geom.capacity)
@@ -479,7 +481,8 @@ def test_sharded_pallas_backend_matches_xla():
         run, sharding = make_sharded_lj_run(
             geom, params, mesh, sc, mass=1.0, dt=inp.dt,
             dtforce=0.5 * inp.dt, natoms=natoms,
-            neigh_every=inp.neigh_every, dtype=jnp.float32, backend=backend)
+            neigh_every=inp.neigh_every, nstat=1, dtype=jnp.float32,
+            backend=backend)
         args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
                 for a in (st.x, st.v, f0)]
         targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
@@ -521,7 +524,7 @@ def test_sharded_pallas_backend_matches_xla():
         run, sharding = make_sharded_eam_run(
             egeom, tables, emesh, esc, mass=tables.mass, dt=einp.dt,
             dtforce=edtf, natoms=len(ex), neigh_every=einp.neigh_every,
-            dtype=jnp.float32, backend=backend)
+            nstat=1, dtype=jnp.float32, backend=backend)
         args = [jax.device_put(np.asarray(a).reshape(egs), sharding)
                 for a in (est.x, est.v, ef0)]
         targ = jax.device_put(np.asarray(est.typ).reshape(egs1), esh1)
@@ -578,7 +581,8 @@ def test_sharded_eam_h2_thick_slab_halo():
     mesh = make_mesh(jax.devices()[:8], box.prd, (2, 2, 2))
     run, sharding = make_sharded_eam_run(
         geom, tables, mesh, sc, mass=tables.mass, dt=inp.dt, dtforce=dtf,
-        natoms=len(x), neigh_every=inp.neigh_every, dtype=jnp.float64)
+        natoms=len(x), neigh_every=inp.neigh_every, nstat=1,
+        dtype=jnp.float64)
     nbx, nby, nbz = geom.nb
     gs = (3, nbz, nby, nbx, geom.capacity)
     gs1 = (nbz, nby, nbx, geom.capacity)
