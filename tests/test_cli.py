@@ -83,3 +83,47 @@ def test_cli_half_neigh_runs():
     out = _run(["-s", "6", "-n", "10", "--half_neigh", "1"])
     assert "0 1.440000e+00" in out
     assert "PERF_SUMMARY" in out
+
+
+def test_cli_timed_check_exchange_yaml(tmp_path, monkeypatch):
+    """Single-device --timed populates phase buckets; --check_exchange
+    runs its drift audit; --yaml_output writes the report."""
+    monkeypatch.chdir(tmp_path)
+    out = _run(["-s", "6", "-n", "40", "--timed", "--check_exchange",
+                "--yaml_output", "1", "--yaml_screen"])
+    perf = next(l for l in out.splitlines() if "PERF_SUMMARY" in l
+                and not l.startswith("#"))
+    f = perf.split()
+    assert float(f[5]) > 0    # t_force measured
+    assert "conservation_ratio" in out and "lost_atoms: 0" in out
+    assert list(tmp_path.glob("miniMD-*.yaml"))
+
+
+def test_cli_datafile_and_precision2(tmp_path):
+    """-f <datafile> initializes from LAMMPS data; --precision 2 runs
+    f64 and reproduces the golden step-0 digits from the file."""
+    import numpy as np
+
+    from minimd_tpu import create
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.lammps_data import write_lammps_data
+    from minimd_tpu.units import thermo_scales
+
+    inp = builtin_deck("lj")
+    n = 6
+    box = create.create_box(n, n, n, inp.rho)
+    x, v = create.create_atoms(n, n, n, inp.rho, box)
+    sc = thermo_scales(inp.units, len(x), box.volume)
+    v = create.create_velocity(v, inp.t_request, len(x), 1.0, sc.t_scale)
+    path = tmp_path / "t.data"
+    write_lammps_data(path, box, x, v, mass=1.0)
+
+    out = _run(["-f", str(path), "-s", str(n), "-n", "10", "--precision", "2"])
+    # step-0 T from the data file's velocities is the rescaled 1.44
+    assert "0 1.440000e+00" in out
+    assert "PERF_SUMMARY" in out
+
+
+def test_cli_sse_exits():
+    with pytest.raises(SystemExit):
+        main(["-sse", "1"])
