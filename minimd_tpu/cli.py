@@ -140,8 +140,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
 
     if args.half_neigh not in (0, 1):
-        print("# Warning: --half_neigh accepted for compatibility; the TPU "
-              "build always uses scatter-free full stencils.")
+        print("# Warning: --half_neigh -1 (the reference's unsafe-threaded "
+              "mode) has no TPU analog; using full stencils. Supported: "
+              "0 (full, default) and 1 (Newton half-neighbor).")
     if args.sse:
         print("ERROR: -sse applies to the miniMD-SSE CPU variant only. Exiting.")
         sys.exit(0)
@@ -166,7 +167,7 @@ def main(argv=None):
     sim = Simulation.from_input(
         inp, ntypes=args.ntypes, dtype=dtype, nbins=nbins,
         capacity=args.capacity, backend=args.backend,
-        half_neigh=(args.half_neigh == 1 and inp.forcetype == FORCE_LJ),
+        half_neigh=(args.half_neigh == 1),
     )
     print("# Done .... ")
     banner(inp, sim, args, args.input_file)
@@ -239,6 +240,10 @@ def main_sharded(args, inp, dtype):
               f"have {len(jax.devices())}")
         sys.exit(1)
 
+    if args.half_neigh == 1:
+        print("# Warning: --half_neigh 1 is not supported with --devices "
+              "(the sharded loop uses scatter-free full stencils); "
+              "running full-neighbor.")
     print("# Create System (sharded):")
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
@@ -260,8 +265,9 @@ def main_sharded(args, inp, dtype):
             else contextlib.nullcontext())
     timer.barrier_start(TIME_TOTAL)
     with prof:
-        if args.timed:
-            trace = ssim.run_timed(timer, inp.ntimes)
+        if args.timed or args.check_exchange:
+            trace = ssim.run_timed(timer, inp.ntimes,
+                                   check_exchange=args.check_exchange)
         else:
             trace = ssim.run(inp.ntimes)
     timer.barrier_stop(TIME_TOTAL)

@@ -153,15 +153,21 @@ class ShardedSimulation:
             natoms=natoms, scales=scales, mass=mass, arrays=arrays,
             dtforce=dtforce, row0=row0)
 
-    def run(self, ntimes: int):
-        """Run ntimes steps; returns the (ntimes, 3) T/U/P trace."""
+    def run(self, ntimes: int, n0: int = 0):
+        """Run ntimes steps; returns the (ntimes, 3) T/U/P trace. n0 is the
+        global step offset (run_timed dispatches per-interval chunks, and
+        the reneigh/thermo cadences key on global step numbers)."""
         import jax
         import numpy as np
 
-        x, v, f, typ, valid, ovf, trace = self.run_fn(*self.arrays, ntimes)
+        x, v, f, typ, valid, ovf, trace = self.run_fn(*self.arrays, ntimes,
+                                                      n0)
         self.arrays = (x, v, f, typ, valid)
         if int(ovf) > 0:
-            raise RuntimeError(f"migration/capacity overflow: {int(ovf)}")
+            raise RuntimeError(
+                f"migration/capacity overflow: {int(ovf)} atom(s) did not "
+                f"fit (cell capacity {self.geom.capacity}); rebuild with a "
+                "larger capacity")
         return np.asarray(jax.device_get(trace))
 
     @property
@@ -181,17 +187,19 @@ class ShardedSimulation:
     def thermo_trace(self, trace):
         """Thermo rows at thermo_nstat cadence, including step 0 — same
         shape as Simulation.thermo_trace (the sharded loop always runs the
-        final step with evflag on, so the trailing row carries energy)."""
+        final step with evflag on, so the trailing row carries energy).
+        nstat == 0 reserves start + end rows (ref thermo.cpp:49-50,95-99)."""
         nstat = self.inp.thermo_nstat
         rows = [self.row0]
         for n in range(len(trace)):
             if nstat and (n + 1) % nstat == 0:
                 rows.append((n + 1, *map(float, trace[n])))
-        if nstat and len(trace) % nstat != 0:
+        if len(trace) and (nstat == 0 or len(trace) % nstat != 0):
             rows.append((len(trace), *map(float, trace[-1])))
         return rows
 
-    def run_timed(self, timer, ntimes: int | None = None):
+    def run_timed(self, timer, ntimes: int | None = None,
+                  check_exchange: bool = False):
         """Interval-chunked run with phase timers (the reference's
         integrate.cpp:101-192 stamps on the MPI path).
 
@@ -253,12 +261,49 @@ class ShardedSimulation:
         comm_replay = self._timed_cache["comm"]
         neigh_replay = self._timed_cache["neigh"]
 
+        if check_exchange and "disp" not in self._timed_cache:
+            dt_c = self.inp.dt
+            dtf_c = self.dtforce
+
+            @jax.jit
+            def max_disp(x, v, f, xold):
+                # pre-migration position of the upcoming step, recomputed
+                # from slot-stable state (migration only reassigns slots)
+                xn = x + dt_c * (v + dtf_c * f)
+                return jnp.max(jnp.abs(xn - xold))
+
+            self._timed_cache["disp"] = max_disp
+        skin_half = 0.5 * (self.inp.neigh_cut - self.inp.force_cut)
+        xold = self.arrays[0]
+
         rows = []
         n = 0
         while n < ntimes:
             chunk = min(every, ntimes - n)
             t0 = _time.time()
-            trace = self.run(chunk)
+            # n0 = global step offset: the scan's reneigh/thermo cadences
+            # key on global step numbers (not the chunk-local counter)
+            if check_exchange and (n + chunk) % every == 0:
+                # audit the per-interval drift against the skin guarantee
+                # before the migration fires (the reference's
+                # --check_exchange, integrate.cpp:112-151, adapted to the
+                # bound that matters here: drift < skin/2 keeps the frozen
+                # cell assignment equivalent to a cached Verlet list)
+                trace = (self.run(chunk - 1, n0=n) if chunk > 1
+                         else np.zeros((0, 3)))
+                x, v, f, typ, valid = self.arrays
+                d = float(self._timed_cache["disp"](x, v, f, xold))
+                if d > skin_half:
+                    print(f"Warning: max per-interval displacement "
+                          f"{d:.4f} exceeds skin/2 = {skin_half:.4f}; "
+                          "pairs may be missed — increase reneighboring "
+                          "frequency or the skin (integrate.cpp:112-151 "
+                          "analog)")
+                trace2 = self.run(1, n0=n + chunk - 1)
+                trace = np.concatenate([trace, trace2], axis=0)
+                xold = self.arrays[0]
+            else:
+                trace = self.run(chunk, n0=n)
             t_chunk = _time.time() - t0
             rows.extend(trace)
             n += chunk

@@ -227,7 +227,7 @@ def make_sharded_lj_run(
                                    dtype, evflag)
         return jnp.stack(f, axis=0), eng, vir
 
-    def sharded_scan(x, v, f, typ, valid, ntimes: int):
+    def sharded_scan(x, v, f, typ, valid, n0, ntimes: int):
         gshape = x.shape
 
         def reneigh(args):
@@ -240,11 +240,15 @@ def make_sharded_lj_run(
                     ovf + o2)
 
         def body(carry, n):
+            # n is the local 0-based index; g is the global step number so
+            # the reneigh/thermo cadences stay correct when run_timed
+            # dispatches the scan in per-interval chunks (n0 > 0)
             x, v, f, typ, valid, ovf = carry
+            g = n0 + n
             v = v + dtf_c * f
             x = x + dt_c * v
             x, v, typ, valid, ovf = jax.lax.cond(
-                (n + 1) % neigh_every == 0, reneigh, lambda a: a,
+                (g + 1) % neigh_every == 0, reneigh, lambda a: a,
                 (x, v, typ, valid, ovf))
             # evflag only on thermo steps + the final step (so trace[-1]
             # always carries energy), like integrate.cpp:101-192
@@ -256,11 +260,13 @@ def make_sharded_lj_run(
                         jax.lax.pvary(w, ("z", "y", "x")))
 
             if nstat > 0:
-                ev = ((n + 1) % nstat == 0) | (n == ntimes - 1)
-                f, eng, vir = jax.lax.cond(
-                    ev, lambda a, b: local_force(a, b, True), _noev, x, typ)
+                ev = ((g + 1) % nstat == 0) | (n == ntimes - 1)
             else:
-                f, eng, vir = _noev(x, typ)
+                # nstat == 0 reserves start+end rows (thermo.cpp:49-50,
+                # 95-99): energy only needed on the final step
+                ev = n == ntimes - 1
+            f, eng, vir = jax.lax.cond(
+                ev, lambda a, b: local_force(a, b, True), _noev, x, typ)
             v = v + dtf_c * f
             eng = jax.lax.psum(eng, ("z", "y", "x"))
             vir = jax.lax.psum(vir, ("z", "y", "x"))
@@ -268,10 +274,9 @@ def make_sharded_lj_run(
             u = eng * scales.e_scale / natoms
             p = (t * scales.dof_boltz + vir) * scales.p_scale
             row = jnp.stack([t, u, p])
-            if nstat > 0:
-                # thermo rows only on the nstat cadence (+ final step),
-                # matching the single-device scan and thermo.cpp:61-66
-                row = jnp.where(ev, row, jnp.zeros_like(row))
+            # thermo rows only on the nstat cadence (+ final step),
+            # matching the single-device scan and thermo.cpp:61-66
+            row = jnp.where(ev, row, jnp.zeros_like(row))
             return (x, v, f, typ, valid, ovf), row
 
         # overflow starts device-varying (axis_index) so the cond branches
@@ -286,18 +291,18 @@ def make_sharded_lj_run(
 
     _cache = {}
 
-    def run(x, v, f, typ, valid, ntimes: int):
+    def run(x, v, f, typ, valid, ntimes: int, n0: int = 0):
         if ntimes not in _cache:
             # check_vma off when the pallas kernel runs per device: vma
             # propagation through (interpreted) pallas_call is not
             # supported by jax yet
             _cache[ntimes] = jax.jit(jax.shard_map(
                 partial(sharded_scan, ntimes=ntimes), mesh=mesh,
-                in_specs=(spec, spec, spec, spec1, spec1),
+                in_specs=(spec, spec, spec, spec1, spec1, P()),
                 out_specs=(spec, spec, spec, spec1, spec1, P(), P()),
                 check_vma=not use_pallas,
             ))
-        return _cache[ntimes](x, v, f, typ, valid)
+        return _cache[ntimes](x, v, f, typ, valid, jnp.asarray(n0, jnp.int32))
 
     return run, sharding
 
@@ -351,7 +356,7 @@ def make_sharded_eam_run(
     spec1 = P("z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
 
-    def sharded_scan(x, v, f, typ, valid, ntimes: int):
+    def sharded_scan(x, v, f, typ, valid, n0, ntimes: int):
         gshape = x.shape
 
         def reneigh(args):
@@ -364,11 +369,13 @@ def make_sharded_eam_run(
                     ovf + o2)
 
         def body(carry, n):
+            # n local, g = n0 + n global (see the LJ loop above)
             x, v, f, typ, valid, ovf = carry
+            g = n0 + n
             v = v + dtf_c * f
             x = x + dt_c * v
             x, v, typ, valid, ovf = jax.lax.cond(
-                (n + 1) % neigh_every == 0, reneigh, lambda a: a,
+                (g + 1) % neigh_every == 0, reneigh, lambda a: a,
                 (x, v, typ, valid, ovf))
             def _noev(a):
                 ff, e, w = force_noev(a, None)
@@ -376,12 +383,12 @@ def make_sharded_eam_run(
                         jax.lax.pvary(w, ("z", "y", "x")))
 
             if nstat > 0:
-                ev = ((n + 1) % nstat == 0) | (n == ntimes - 1)
-                fg, eng, vir = jax.lax.cond(
-                    ev, lambda a: force_ev(a, None), _noev,
-                    x.reshape(3, -1))
+                ev = ((g + 1) % nstat == 0) | (n == ntimes - 1)
             else:
-                fg, eng, vir = _noev(x.reshape(3, -1))
+                ev = n == ntimes - 1
+            fg, eng, vir = jax.lax.cond(
+                ev, lambda a: force_ev(a, None), _noev,
+                x.reshape(3, -1))
             f = fg.reshape(gshape)
             v = v + dtf_c * f
             eng = jax.lax.psum(eng, ("z", "y", "x"))
@@ -390,10 +397,9 @@ def make_sharded_eam_run(
             u = eng * scales.e_scale / natoms
             p = (t * scales.dof_boltz + vir) * scales.p_scale
             row = jnp.stack([t, u, p])
-            if nstat > 0:
-                # thermo rows only on the nstat cadence (+ final step),
-                # matching the single-device scan and thermo.cpp:61-66
-                row = jnp.where(ev, row, jnp.zeros_like(row))
+            # thermo rows only on the nstat cadence (+ final step),
+            # matching the single-device scan and thermo.cpp:61-66
+            row = jnp.where(ev, row, jnp.zeros_like(row))
             return (x, v, f, typ, valid, ovf), row
 
         ovf0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
@@ -406,17 +412,17 @@ def make_sharded_eam_run(
 
     _cache = {}
 
-    def run(x, v, f, typ, valid, ntimes: int):
+    def run(x, v, f, typ, valid, ntimes: int, n0: int = 0):
         if ntimes not in _cache:
             # check_vma off when the pallas kernel runs per device: vma
             # propagation through (interpreted) pallas_call is not
             # supported by jax yet
             _cache[ntimes] = jax.jit(jax.shard_map(
                 partial(sharded_scan, ntimes=ntimes), mesh=mesh,
-                in_specs=(spec, spec, spec, spec1, spec1),
+                in_specs=(spec, spec, spec, spec1, spec1, P()),
                 out_specs=(spec, spec, spec, spec1, spec1, P(), P()),
                 check_vma=not use_pallas,
             ))
-        return _cache[ntimes](x, v, f, typ, valid)
+        return _cache[ntimes](x, v, f, typ, valid, jnp.asarray(n0, jnp.int32))
 
     return run, sharding

@@ -34,6 +34,7 @@ class Simulation:
     mass: float
     dtforce: float            # 0.5*dt / mvv2e / mass (integrate.cpp:43,81; thermo.cpp:69)
     dtype: object
+    backend: str = "auto"
     eng_vdwl: jax.Array | None = None
     virial: jax.Array | None = None
     # force-closure factory, kept for capacity grow-and-retry (geom changes)
@@ -99,6 +100,13 @@ class Simulation:
                 # eligible, XLA grid otherwise. Exact spline gathers stay
                 # the default for f64/CPU validation runs.
                 import numpy as _np
+                if half_neigh:
+                    # Newton parity option (ref force_eam.cpp:126-267);
+                    # exact spline gathers, slower than full stencils on
+                    # TPU (SURVEY.md P7)
+                    from .ops.eam_half import make_eam_force_half
+                    return make_eam_force_half(geom, tables, ntypes,
+                                               dtype=dtype)
                 on_accel = jax.default_backend() != "cpu"
                 use_fast = backend in ("pallas", "grid") or (
                     backend == "auto" and dtype == jnp.float32 and on_accel
@@ -146,7 +154,8 @@ class Simulation:
         sim = Simulation(
             inp=inp, geom=geom, state=state, scales=scales,
             force_fn=force_ev, force_fn_noev=force_noev, natoms=natoms,
-            mass=mass, dtforce=dtforce, dtype=dtype, _make_force=make_force,
+            mass=mass, dtforce=dtforce, dtype=dtype, backend=backend,
+            _make_force=make_force,
         )
         sim._compute_initial_force()
         return sim
@@ -309,8 +318,8 @@ class Simulation:
             # (cells.rebin_local pays ~50 GB of HBM one-hot traffic at
             # 864k: 54 -> 28 ms/call; bit-identical layout, tested). Below
             # ~0.4M slots the XLA one-hot measures slightly faster.
-            if (self.dtype == jnp.float32 and min(geom.nb) >= 3
-                    and geom.nslots >= 400_000
+            if (self.backend != "xla" and self.dtype == jnp.float32
+                    and min(geom.nb) >= 3 and geom.nslots >= 400_000
                     and jax.default_backend() not in ("cpu",)):
                 from .ops.rebin_pallas import make_rebin_pallas
                 _rp = make_rebin_pallas(geom)
@@ -367,8 +376,11 @@ class Simulation:
             if self._make_force is None or self.geom.capacity >= 4 * 128:
                 raise RuntimeError(
                     f"cell capacity overflow: {int(self.state.overflow)} "
-                    f"atom(s) did not fit (capacity {self.geom.capacity})")
-            newcap = self.geom.capacity + 8
+                    f"atom(s) did not fit (capacity {self.geom.capacity}); "
+                    "rebuild with a larger --capacity")
+            # each retry recompiles the fused scan (minutes on the remote
+            # TPU toolchain), so grow geometrically rather than +8 per try
+            newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
             print(f"# resize: cell capacity {self.geom.capacity} -> "
                   f"{newcap} (rebin overflow), replaying interval")
             self._regrow(s_before, newcap)
@@ -501,15 +513,17 @@ class Simulation:
 
     def thermo_trace(self, trace: np.ndarray) -> list[tuple[int, float, float, float]]:
         """Subsample the per-step trace at thermo_nstat cadence, including
-        step 0 (computed from the initial force)."""
+        step 0 (computed from the initial force). nstat == 0 reserves the
+        start + end rows only (ref thermo.cpp:49-50,95-99)."""
         nstat = self.inp.thermo_nstat
         rows = [self._row0]
         for n in range(len(trace)):
             if nstat and (n + 1) % nstat == 0:
                 rows.append((n + 1, *map(float, trace[n])))
-        if nstat and len(trace) % nstat != 0:
-            # trailing partial interval: the in-scan row carries no energy
-            # (no-ev step); recompute from the post-run evflag force, like
-            # the reference's final compute (ljs.cpp:477-483)
+        if len(trace) and (nstat == 0 or len(trace) % nstat != 0):
+            # trailing partial interval (or nstat=0 end row): the in-scan
+            # row carries no energy (no-ev step); recompute from the
+            # post-run evflag force, like the reference's final compute
+            # (ljs.cpp:477-483)
             rows.append(self.thermo_row(len(trace)))
         return rows

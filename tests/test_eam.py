@@ -107,3 +107,57 @@ def test_eam_grid_cheb_matches_exact():
     fg2, eg2, _ = jax.jit(fnoev)(st.x, st.typ)
     np.testing.assert_allclose(np.asarray(fg2), np.asarray(fg))
     assert float(eg2) == 0.0
+
+
+def test_eam_half_neighbor_matches_full():
+    """Newton half-list EAM (ref force_eam.cpp:126-267) must reproduce the
+    full-stencil exact path: same forces, energy, virial (f64, both built
+    on the exact spline idiom)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.ops.eam import EAMTables
+    from minimd_tpu.ops.eam_half import make_eam_force_half
+
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = 8
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim.run(5)
+
+    tables = EAMTables.from_funcfl()
+    h_ev, h_noev = make_eam_force_half(sim.geom, tables, dtype=jnp.float64)
+    f_full, e_full, v_full = jax.jit(sim.force_fn)(sim.state.x, sim.state.typ)
+    f_half, e_half, v_half = jax.jit(h_ev)(sim.state.x, sim.state.typ)
+
+    valid = np.asarray(sim.state.valid)
+    ff, fh = np.asarray(f_full)[:, valid], np.asarray(f_half)[:, valid]
+    scale = np.abs(ff).max()
+    assert np.abs(ff - fh).max() / scale < 1e-12
+    assert abs(float(e_full) - float(e_half)) / abs(float(e_full)) < 1e-12
+    assert abs(float(v_full) - float(v_half)) / abs(float(v_full)) < 1e-12
+
+    # noev variant: same forces, zero accumulators
+    f_n, e_n, v_n = jax.jit(h_noev)(sim.state.x, sim.state.typ)
+    assert np.abs(np.asarray(f_n)[:, valid] - fh).max() == 0.0
+    assert float(e_n) == 0.0 and float(v_n) == 0.0
+
+
+def test_eam_half_neighbor_full_run():
+    """--half_neigh 1 EAM end-to-end: trace matches the full-stencil run."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = 6
+    sim_f = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim_h = Simulation.from_input(inp, dtype=jnp.float64, backend="xla",
+                                  half_neigh=True)
+    tr_f = sim_f.run(40)
+    tr_h = sim_h.run(40)
+    np.testing.assert_allclose(tr_h, tr_f, rtol=1e-9, atol=1e-9)

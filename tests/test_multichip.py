@@ -596,3 +596,47 @@ def test_sharded_eam_h2_thick_slab_halo():
     assert int(np.asarray(okg).sum()) == len(x)
     np.testing.assert_allclose(np.asarray(tr8)[:, 0], np.array(ts),
                                rtol=1e-11, atol=0)
+
+
+def test_sharded_run_timed_global_thermo_cadence():
+    """run_timed dispatches the scan in per-interval chunks; evflag/thermo
+    gating must key on GLOBAL step numbers, or thermo steps landing
+    mid-chunk (nstat not a multiple of neigh_every) print zeroed rows."""
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.parallel import ShardedSimulation
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.timer import Timer
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 10
+    inp.neigh_every = 20
+    inp.thermo_nstat = 50
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64)
+    trace = ssim.run_timed(Timer(), 100)
+    rows = ssim.thermo_trace(trace)
+    assert [int(r[0]) for r in rows] == [0, 50, 100]
+    # step 50 lands mid-chunk; its row must carry real thermo, not zeros
+    assert all(abs(r[2]) > 1.0 for r in rows)  # U ~ -6.7, never 0
+
+    sim = Simulation.from_input(inp, dtype=jnp.float64, nbins=ssim.geom.nb,
+                                backend="xla")
+    rows1 = sim.thermo_trace(sim.run(100))
+    assert [int(r[0]) for r in rows1] == [0, 50, 100]
+    for r, r1 in zip(rows, rows1):
+        np.testing.assert_allclose(r[1:], r1[1:], rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_nstat0_start_end_rows():
+    """thermo_nstat = 0 reserves start + end rows (thermo.cpp:49-50,95-99)."""
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.parallel import ShardedSimulation
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 10
+    inp.thermo_nstat = 0
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64)
+    rows = ssim.thermo_trace(ssim.run(37))
+    assert [int(r[0]) for r in rows] == [0, 37]
+    assert all(abs(r[2]) > 1.0 for r in rows)
