@@ -56,7 +56,45 @@ def throughput(style, n, steps_a, steps_b, reps=1):
     return sim.natoms / best / 1e6
 
 
+def throughput_sharded(style, n, steps_a, steps_b, ndev):
+    """--devices hook: same slope methodology through ShardedSimulation.
+    With one real chip this exercises the sharded program end-to-end; on a
+    real multi-chip host it measures the mesh."""
+    from minimd_tpu.parallel import ShardedSimulation
+
+    inp = builtin_deck(style)
+    inp.nx = inp.ny = inp.nz = n
+    sim = ShardedSimulation.from_input(inp, devices=jax.devices()[:ndev],
+                                       dtype=jnp.float32)
+    sim.run(steps_a)
+    sim.run(steps_b)
+    t0 = time.time(); sim.run(steps_a); ta = time.time() - t0
+    t0 = time.time(); sim.run(steps_b); tb = time.time() - t0
+    return sim.natoms / ((tb - ta) / (steps_b - steps_a)) / 1e6
+
+
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=0,
+                    help="run the SHARDED loop over N devices instead of "
+                         "the single-chip headline (multi-chip hardware "
+                         "hook; N=1 exercises the sharded program on one "
+                         "chip)")
+    args = ap.parse_args()
+
+    if args.devices:
+        ndev = args.devices
+        lj = throughput_sharded("lj", 32, 60, 180, ndev)
+        print(json.dumps({
+            "metric": "lj_131k_sharded_throughput",
+            "value": round(lj, 2),
+            "unit": "Matom_steps_per_sec",
+            "vs_baseline": round(lj / BASELINE_MATOM_STEPS, 3),
+            "companions": {"devices": ndev},
+        }))
+        return
+
     lj131 = throughput("lj", 32, 100, 300, reps=2)
     lj864 = throughput("lj", 60, 60, 180)
     eam131 = throughput("eam", 32, 100, 300)

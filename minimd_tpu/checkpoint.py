@@ -15,11 +15,16 @@ from .config import In
 
 
 def save(path, sim, step: int = 0):
-    """Write a compact checkpoint of the live simulation state."""
+    """Write a compact checkpoint of the live simulation state. Works for
+    both Simulation and ShardedSimulation (the sharded .state property
+    exposes the same gathered surface)."""
     valid = np.asarray(sim.state.valid)
     x = np.asarray(sim.state.x).T[valid]
     prd = np.asarray(sim.geom.prd)
     x = x - np.floor(x / prd) * prd          # fold unfolded storage coords
+    # provenance: the ORIGINAL trajectory's step-0 thermo row, so a
+    # resumed run's conservation ratio / numbering continues the original
+    row0 = getattr(sim, "_row0", None) or getattr(sim, "row0", None)
     np.savez_compressed(
         path,
         x=x,
@@ -28,18 +33,24 @@ def save(path, sim, step: int = 0):
         prd=prd,
         mass=sim.mass,
         step=step,
+        row0=np.asarray(row0 if row0 is not None else [0, 0.0, 0.0, 0.0],
+                        dtype=np.float64),
         deck=np.array([dataclasses.asdict(sim.inp)], dtype=object),
     )
 
 
 def load(path):
-    """Returns (In, box_prd, x, v, typ, mass, step)."""
+    """Returns (In, box_prd, x, v, typ, mass, step, row0)."""
     z = np.load(path, allow_pickle=True)
     deck = z["deck"][0]
     deck.pop("source", None)
     inp = In(**{k: v for k, v in deck.items() if k in In.__dataclass_fields__})
+    row0 = None
+    if "row0" in z:
+        r = z["row0"]
+        row0 = (int(r[0]), float(r[1]), float(r[2]), float(r[3]))
     return (inp, z["prd"], z["x"], z["v"], z["typ"], float(z["mass"]),
-            int(z["step"]))
+            int(z["step"]), row0)
 
 
 def resume(path, **sim_kwargs):
@@ -53,7 +64,7 @@ def resume(path, **sim_kwargs):
     from .config import FORCE_LJ, UNITS_METAL
     from .ops.lj import LJParams
 
-    inp, prd, x, v, typ, mass, step = load(path)
+    inp, prd, x, v, typ, mass, step, row0 = load(path)
     dtype = sim_kwargs.pop("dtype", jnp.float32)
     backend = sim_kwargs.pop("backend", "auto")
     natoms = len(x)
@@ -91,4 +102,21 @@ def resume(path, **sim_kwargs):
                      force_fn=force_ev, force_fn_noev=force_noev,
                      natoms=natoms, mass=mass, dtforce=dtforce, dtype=dtype)
     sim._compute_initial_force()
+    if row0 is not None:
+        # continue the original trajectory's thermo provenance: step-0
+        # numbering and the conservation ratio baseline belong to the
+        # original run, not the restored instant
+        sim._row0 = row0
     return sim, step
+
+
+def resume_sharded(path, devices=None, **kwargs):
+    """Rebuild a ShardedSimulation from a checkpoint (multi-device resume).
+    Returns (ssim, step)."""
+    from .parallel import ShardedSimulation
+
+    inp, prd, x, v, typ, mass, step, row0 = load(path)
+    ssim = ShardedSimulation.from_arrays(inp, prd, x, v, typ, mass,
+                                         devices=devices, row0=row0,
+                                         **kwargs)
+    return ssim, step

@@ -249,7 +249,8 @@ def main_sharded(args, inp, dtype):
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
                                         nbins=nbins, ntypes=args.ntypes,
                                         safe_exchange=args.safe_exchange,
-                                        backend=args.backend)
+                                        backend=args.backend,
+                                        capacity=args.capacity)
     print("# Done .... ")
     banner(inp, ssim, args, args.input_file)
     print(f"# Mesh: {dict(ssim.mesh.shape)}")

@@ -328,3 +328,90 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
                      rdr=float(rdr), u_a=float(u_a), u_b=float(u_b),
                      body=body, m0=m0, nrows=nrows, tail=tail,
                      max_err=max_err)
+
+
+@dataclasses.dataclass(frozen=True)
+class PairRows:
+    """Gather-table evaluation of the four pair-hot EAM functions — the
+    TPU dynamic-gather alternative to PairPolys' Horner bodies.
+
+    Mosaic's per-lane gather (tpu.dynamic_gather) requires the table to
+    fit one vreg along the gather dimension, i.e. <= 128 entries. The grid
+    is therefore two-segment piecewise-uniform with n_entries <= 128:
+
+      body  r in [lo, split):   n_body uniform pieces of width h
+      tail  r in [split, cut]:  one piece per source spline knot interval
+            (split sits on a knot, same as PairPolys), so the funcfl
+            truncation kink at the cutoff lands exactly on a piece
+            boundary and is reproduced like the reference table
+            (force_eam.cpp:152-158)
+
+    Each piece holds a per-function polynomial in the local variable
+    t = idxf - floor(idxf) in [0, 1), where idxf is the piecewise-linear
+    index map — so index AND local coordinate come out of one fused
+    computation. Per-function degrees: R and P errors accumulate
+    coherently (rho sums / the energy sum), so they get higher degrees;
+    G1/G2 are force factors where the f32 floor dominates. f32 eval errors
+    are at rounding scale (measured in max_err; validated end-to-end by
+    the force-error test in tests/test_eam.py)."""
+
+    lo: float
+    split: float
+    cut: float
+    inv_h: float              # body: idxf = (r - lo) * inv_h
+    rdr: float                # tail: idxf = n_body + (r - split) * rdr
+    n_body: int
+    n_entries: int
+    coeffs: dict              # name -> (degree+1, n_entries) f32, descending
+    max_err: dict
+
+
+_ROWS_DEGREE = {"R": 3, "G1": 3, "G2": 3, "P": 3}
+
+
+def build_pair_rows(tables, lo: float = 1.8, n_body: int = 125,
+                    degree: dict | None = None) -> PairRows:
+    nr, dr, cut = tables.nr, tables.dr, tables.cut
+    rdr = 1.0 / dr
+    rhor, z2r = tables.rhor_spline, tables.z2r_spline
+    fns = {
+        "R":  lambda r: _spline_value(rhor, nr, dr, r),
+        "G1": lambda r: _spline_deriv(rhor, nr, dr, r) / r,
+        "G2": lambda r: (_spline_deriv(z2r, nr, dr, r) / r ** 2
+                         - _spline_value(z2r, nr, dr, r) / r ** 3),
+        "P":  lambda r: _spline_value(z2r, nr, dr, r) / r,
+    }
+    degree = dict(_ROWS_DEGREE, **(degree or {}))
+
+    # split two knots before the cutoff, like build_pair_polys
+    split = (int(cut * rdr + 1.0) - 2) * dr
+    h = (split - lo) / n_body
+    n_tail = int(round((cut - split) * rdr))
+    edges = [lo + k * h for k in range(n_body)]         + [split + j * dr for j in range(n_tail)]
+    widths = [h] * n_body + [dr] * n_tail
+    n_entries = n_body + n_tail
+    assert n_entries <= 128, "gather table must fit one vreg of lanes"
+
+    coeffs, max_err = {}, {}
+    for name, fn in fns.items():
+        scale = np.abs(fn(np.linspace(lo, cut, 50001))).max()
+        deg = degree[name]
+        tab = np.zeros((deg + 1, n_entries), np.float64)
+        worst = 0.0
+        for k, (e, w) in enumerate(zip(edges, widths)):
+            r1 = min(e + w, cut)
+            rs = np.linspace(e + 1e-12, r1, 801)
+            t = (rs - e) / w
+            ys = fn(rs)
+            c = np.polynomial.polynomial.Polynomial.fit(
+                t, ys, deg, domain=[0.0, 1.0], window=[0.0, 1.0]).coef[::-1]
+            tab[:, k] = c
+            got = _horner_np(np.asarray(c, np.float32),
+                             t.astype(np.float32)).astype(np.float64)
+            worst = max(worst, np.abs(got - ys).max() / scale)
+        coeffs[name] = tab.astype(np.float32)
+        max_err[name] = float(worst)
+
+    return PairRows(lo=float(lo), split=float(split), cut=float(cut),
+                    inv_h=float(1.0 / h), rdr=float(rdr), n_body=n_body,
+                    n_entries=n_entries, coeffs=coeffs, max_err=max_err)

@@ -255,3 +255,294 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
         return force
 
     return build(True), build(False)
+
+
+def make_eam_force_pallas_rows(geom: CellGeometry, tables: EAMTables,
+                               ntypes: int = 1, dtype=jnp.float32,
+                               interpret: bool = False, degree=None):
+    """Gather-table EAM kernels (single device) — a MEASURED NEGATIVE
+    RESULT, kept in-tree (with its interpret-mode parity test) so the
+    experiment isn't re-walked.
+
+    Measured on the v5e chip (131k-atom EAM deck): 17.31 ms/step = 7.57
+    Matom-steps/s vs the polynomial kernel's 13.97 ms = 9.45 M. Microbench
+    (evolving-carry scan): a 4-coefficient gather evaluation costs about
+    as much as a full degree-20 Horner chain — tpu.dynamic_gather is
+    ~4-5 VPU ops per element, and the scheme still pays the sqrt + index
+    computation on top. Related negatives: dynamic_gather requires
+    indices.shape == operand.shape with the table in a single vreg
+    (<= 128 lanes) along the gather dim; and rsq-space polynomial bodies
+    (which would drop the sqrt) need degree 28 while still missing the
+    R/P fit tolerances, so there is no sqrt-free reformulation either.
+
+    Design (works, is exact to f32 rounding — just not faster), two
+    changes over make_eam_force_pallas:
+
+    - Pair functions evaluate through <=128-entry piecewise tables
+      (eam_file.build_pair_rows) with Mosaic's per-lane dynamic gather:
+      ~deg+1 gathers + deg FMA per function instead of a degree-20 Horner
+      body + per-row tail selects. The index and the local coordinate come
+      out of one fused piecewise-linear map.
+    - The XLA prologue is the LJ fused kernel's: candidates are roll-packed
+      straight from the raw grid (x-boundary image fix fused in), periodic
+      z/y wrap rides the BlockSpec index maps with in-kernel ±prd scalar
+      shifts — no halo-padded grids in HBM. The fp halo between the passes
+      is the same roll-pack with no coordinate fixes (scalar field).
+    """
+    assert dtype == jnp.float32, "pallas EAM kernel is f32"
+    h = halo_extent(geom)
+    assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
+
+    from ..eam_file import build_pair_rows
+
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    M = nbx * nby * nbz * C
+    LANE = _round_up(3 * C, 128)
+    prx, pry, prz = (float(p) for p in geom.prd)
+
+    rows = build_pair_rows(tables, degree=degree)
+    NE = rows.n_entries
+    lo_c, split_c = rows.lo, rows.split
+    inv_h, rdr_t, n_body = rows.inv_h, rows.rdr, rows.n_body
+    # Mosaic's dynamic_gather wants indices.shape == operand.shape and a
+    # single source vreg along the gather dim: tables pad to LANE == 128
+    # and broadcast to the candidate array shape (hoisted out of the
+    # stencil loop below)
+    assert LANE == 128, "gather-table EAM kernel needs 3*C <= 128"
+    import numpy as _np
+    tabs = {name: jnp.asarray(_np.pad(c, ((0, 0), (0, LANE - c.shape[1]))))
+            for name, c in rows.coeffs.items()}
+    degs = {name: c.shape[0] - 1 for name, c in rows.coeffs.items()}
+    cutsq = float(tables.cut ** 2)
+
+    frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
+    rdrho = 1.0 / tables.drho
+    nrho = tables.nrho
+
+    def self_mask_2d():
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
+        return (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
+
+    def row_index(r):
+        """Piecewise index map: (k, t) with t in [0, 1). One select, and
+        the clamp covers both sentinels (r huge) and the no-pairs-below-lo
+        contract (same clamp semantics as eval_pair_fns)."""
+        idxf = jnp.where(r < split_c, (r - lo_c) * inv_h,
+                         n_body + (r - split_c) * rdr_t)
+        idxf = jnp.clip(idxf, 0.0, NE - 1.0 + 0.999)
+        k = jnp.minimum(idxf.astype(jnp.int32), NE - 1)
+        return k, idxf - k.astype(jnp.float32)
+
+    def broadcast_tab(tab_ref, deg, nrows):
+        """Hoist the table broadcasts out of the stencil loop: each coeff
+        row becomes a (nrows, 128) operand matching the index shape."""
+        return [jnp.broadcast_to(tab_ref[c][None, :], (nrows, LANE))
+                for c in range(deg + 1)]
+
+    def eval_tab(tab_b, k2, t2):
+        """Gather-table polynomial at flattened-2D (k, t): deg+1 per-lane
+        gathers + deg FMA (indices.shape == operand.shape == (nrows, 128),
+        the Mosaic dynamic_gather contract)."""
+        acc = jnp.take_along_axis(tab_b[0], k2, axis=1)
+        for c in range(1, len(tab_b)):
+            acc = acc * t2 + jnp.take_along_axis(tab_b[c], k2, axis=1)
+        return acc
+
+    def pair_r(j_refs, xi, dz, dy, z, y):
+        zs = jnp.where(z + dz < 0, -prz,
+                       jnp.where(z + dz >= nbz, prz, 0.0)).astype(jnp.float32)
+        ys = jnp.where(y + dy < 0, -pry,
+                       jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
+        k = (dz + 1) * 3 + (dy + 1)
+        j0 = j_refs[0 * 9 + k][0, 0][:, None, :]   # (nbx, 1, LANE)
+        j1 = j_refs[1 * 9 + k][0, 0][:, None, :] + ys
+        j2 = j_refs[2 * 9 + k][0, 0][:, None, :] + zs
+        d0 = xi[0][:, :, None] - j0                # (nbx, C, LANE)
+        d1 = xi[1][:, :, None] - j1
+        d2 = xi[2][:, :, None] - j2
+        rsq = d0 * d0 + d1 * d1 + d2 * d2
+        mask = rsq < cutsq
+        if dz == 0 and dy == 0:
+            mask = mask & ~self_mask_2d()[None, :, :]
+        m = mask.astype(jnp.float32)
+        r = jnp.sqrt(rsq)
+        return (d0, d1, d2), rsq, r, m
+
+    # ------------------------------------------------------------------
+    # pass 1: rho
+    # ------------------------------------------------------------------
+    def rho_kernel(*refs):
+        j_refs = refs[0:27]
+        xi_refs = refs[27:30]
+        tabR = refs[30]
+        rho_ref = refs[31]
+        z = pl.program_id(0)
+        y = pl.program_id(1)
+        xi = [xr[0, 0] for xr in xi_refs]
+        tabR_b = broadcast_tab(tabR, degs["R"], nbx * C)
+        rho = jnp.zeros((nbx, C), jnp.float32)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                _, _, r, m = pair_r(j_refs, xi, dz, dy, z, y)
+                k2, t2 = row_index(r.reshape(nbx * C, LANE))
+                val = eval_tab(tabR_b, k2, t2).reshape(nbx, C, LANE)
+                rho = rho + jnp.sum(val * m, axis=-1)
+        rho_ref[0, 0] = rho
+
+    # ------------------------------------------------------------------
+    # pass 2: forces
+    # ------------------------------------------------------------------
+    def force_kernel(*refs, evflag: bool):
+        j_refs = refs[0:27]
+        fp_refs = refs[27:36]     # packed fp rows, (dz, dy) wrapped views
+        xi_refs = refs[36:39]
+        fpi_ref = refs[39]        # (1, 1, nbx, C) own fp
+        tabG1, tabG2, tabP = refs[40], refs[41], refs[42]
+        f_ref, eng_ref, vir_ref = refs[43], refs[44], refs[45]
+        z = pl.program_id(0)
+        y = pl.program_id(1)
+
+        @pl.when((z == 0) & (y == 0))
+        def _init():
+            eng_ref[...] = jnp.zeros((8, 128), jnp.float32)
+            vir_ref[...] = jnp.zeros((8, 128), jnp.float32)
+
+        xi = [xr[0, 0] for xr in xi_refs]
+        fp_i = fpi_ref[0, 0]                       # (nbx, C)
+        tabG1_b = broadcast_tab(tabG1, degs["G1"], nbx * C)
+        tabG2_b = broadcast_tab(tabG2, degs["G2"], nbx * C)
+        tabP_b = broadcast_tab(tabP, degs["P"], nbx * C) if evflag else None
+
+        facc = [jnp.zeros((nbx, C), jnp.float32) for _ in range(3)]
+        eng = jnp.zeros((), jnp.float32)
+        vir = jnp.zeros((), jnp.float32)
+
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                (d0, d1, d2), rsq, r, m = pair_r(j_refs, xi, dz, dy, z, y)
+                k2, t2 = row_index(r.reshape(nbx * C, LANE))
+                g1 = eval_tab(tabG1_b, k2, t2).reshape(nbx, C, LANE)
+                g2 = eval_tab(tabG2_b, k2, t2).reshape(nbx, C, LANE)
+                k = (dz + 1) * 3 + (dy + 1)
+                fp_j = fp_refs[k][0, 0][:, None, :]       # (nbx, 1, LANE)
+                psip = (fp_i[:, :, None] + fp_j) * g1 + g2
+                fpair = -psip * m
+                facc[0] = facc[0] + jnp.sum(fpair * d0, axis=-1)
+                facc[1] = facc[1] + jnp.sum(fpair * d1, axis=-1)
+                facc[2] = facc[2] + jnp.sum(fpair * d2, axis=-1)
+                if evflag:
+                    pv = eval_tab(tabP_b, k2, t2).reshape(nbx, C, LANE)
+                    eng = eng + jnp.sum(pv * m)
+                    vir = vir + 0.5 * jnp.sum(rsq * fpair)
+
+        f_ref[0, 0, 0] = facc[0]
+        f_ref[1, 0, 0] = facc[1]
+        f_ref[2, 0, 0] = facc[2]
+        if evflag:
+            cell = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == z % 8) & (
+                jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == y % 128)
+            eng_ref[...] += jnp.where(cell, eng, 0.0)
+            vir_ref[...] += jnp.where(cell, vir, 0.0)
+
+    # ------------------------------------------------------------------
+    # XLA prologue: roll-pack from the raw grid (LJ fused style)
+    # ------------------------------------------------------------------
+    def pack_candidates(g, c):
+        left = jnp.roll(g, 1, axis=2)
+        right = jnp.roll(g, -1, axis=2)
+        if c == 0:
+            xc = jnp.arange(nbx, dtype=jnp.int32)[None, None, :, None]
+            left = jnp.where(xc == 0, left - prx, left)
+            right = jnp.where(xc == nbx - 1, right + prx, right)
+        parts = [left, g, right]
+        if LANE > 3 * C:
+            parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
+                                  g.dtype))
+        return jnp.concatenate(parts, axis=-1)
+
+    def embedding(rho, valid, evflag: bool):
+        p = rho * rdrho + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
+        p = jnp.minimum(p - m.astype(dtype), 1.0)
+        fp = (jnp.take(frho_sp[:, 0], m) * p + jnp.take(frho_sp[:, 1], m)) * p \
+            + jnp.take(frho_sp[:, 2], m)
+        if evflag:
+            emb = ((jnp.take(frho_sp[:, 3], m) * p + jnp.take(frho_sp[:, 4], m)) * p
+                   + jnp.take(frho_sp[:, 5], m)) * p + jnp.take(frho_sp[:, 6], m)
+            return fp, jnp.sum(jnp.where(valid, emb, 0.0))
+        return fp, jnp.zeros((), dtype)
+
+    def wrapped_specs(n_coords):
+        return [
+            pl.BlockSpec((1, 1, nbx, LANE),
+                         functools.partial(
+                             lambda dz, dy, z, y:
+                             ((z + dz - 1) % nbz, (y + dy - 1) % nby, 0, 0),
+                             dz, dy),
+                         memory_space=pltpu.VMEM)
+            for _c in range(n_coords) for dz in (0, 1, 2) for dy in (0, 1, 2)
+        ]
+
+    xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def tab_spec(name):
+        return pl.BlockSpec(tabs[name].shape, lambda z, y: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    rho_call = pl.pallas_call(
+        rho_kernel,
+        grid=(nbz, nby),
+        in_specs=wrapped_specs(3) + [xi_spec] * 3 + [tab_spec("R")],
+        out_specs=xi_spec,
+        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def build(evflag: bool):
+        fspec = pl.BlockSpec((3, 1, 1, nbx, C), lambda z, y: (0, z, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec((8, 128), lambda z, y: (0, 0),
+                             memory_space=pltpu.VMEM)
+        force_call = pl.pallas_call(
+            functools.partial(force_kernel, evflag=evflag),
+            grid=(nbz, nby),
+            in_specs=(wrapped_specs(3) + wrapped_specs(1) + [xi_spec] * 4
+                      + [tab_spec(n) for n in ("G1", "G2", "P")]),
+            out_specs=(fspec, sspec, sspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+        def force(x, typ):
+            del typ
+            g = [x[c].reshape(nbz, nby, nbx, C) for c in range(3)]
+            J = [pack_candidates(g[c], c) for c in range(3)]
+            jargs = [J[c] for c in range(3) for _off in range(9)]
+
+            rho = rho_call(*jargs, *g, tabs["R"])
+            valid = x[0] < 0.5 * _SENTINEL_BASE
+            fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+            # fp halo: the reference's mid-force communicate — a scalar
+            # field, so the roll-pack needs no boundary coordinate fix
+            fpg = fp.reshape(nbz, nby, nbx, C)
+            FP = pack_candidates(fpg, -1)
+
+            f, eng, vir = force_call(
+                *jargs, *([FP] * 9), *g, fpg,
+                tabs["G1"], tabs["G2"], tabs["P"])
+            eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
+            return f.reshape(3, M), eng_vdwl, jnp.sum(vir)
+
+        return force
+
+    return build(True), build(False)

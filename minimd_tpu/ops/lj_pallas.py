@@ -118,6 +118,11 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
         self_mask = (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
+        # self pairs have rsq == 0; a compile-time epsilon on just those
+        # lanes (the dz=dy=0 row) keeps m/rsq well-defined without the
+        # (1-m) denominator blend on every lane — 2 fewer VPU ops per
+        # candidate, bit-identical results (masked lanes: 0/rsq == 0)
+        self_eps = self_mask.astype(jnp.float32)
 
         facc0 = jnp.zeros((nbx, C), jnp.float32)
         facc1 = jnp.zeros((nbx, C), jnp.float32)
@@ -144,10 +149,13 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
                 mask = rsq < cutsq
                 if dz == 0 and dy == 0:
                     mask = mask & ~self_mask[None, :, :]
+                    rsq_den = rsq + self_eps[None, :, :]
+                else:
+                    rsq_den = rsq
                 # mask arithmetic instead of selects: sr2 == 0 for masked
                 # pairs, so sr6/fc/eng terms vanish on their own
                 m = mask.astype(jnp.float32)
-                sr2 = m / (rsq + (1.0 - m))
+                sr2 = m / rsq_den
                 sr6 = sr2 * sr2 * sr2 * sig6
                 fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
                 facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
@@ -173,13 +181,17 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     def pack_candidates(g, c):
         """Raw (nbz, nby, nbx, C) coordinate grid -> (nbz, nby, nbx, LANE)
         packed candidates [x-1 | x | x+1]; coord 0 gets the x-boundary
-        periodic image fix. One fused XLA elementwise pass."""
-        left = jnp.roll(g, 1, axis=2)
-        right = jnp.roll(g, -1, axis=2)
+        periodic image fix. Written as pure slice-concats with the ±prd
+        fix on just the thin wrap column: a roll+select formulation made
+        XLA spend ~3-4 ops/element on what is a copy (measured 0.47 ms of
+        the 864k step in maximum_maximum/DUS fusions)."""
+        wrap_l = g[:, :, nbx - 1:]
+        wrap_r = g[:, :, :1]
         if c == 0:
-            xc = jnp.arange(nbx, dtype=jnp.int32)[None, None, :, None]
-            left = jnp.where(xc == 0, left - prx, left)
-            right = jnp.where(xc == nbx - 1, right + prx, right)
+            wrap_l = wrap_l - prx
+            wrap_r = wrap_r + prx
+        left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
+        right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
         parts = [left, g, right]
         if LANE > 3 * C:
             parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
@@ -277,6 +289,9 @@ def _make_lj_force_pallas_packed(geom: CellGeometry, params: LJParams,
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
         self_mask = (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
+        # compile-time epsilon on the self lanes only (see the fused
+        # kernel): m/rsq needs no (1-m) blend anywhere else
+        self_eps = self_mask.astype(jnp.float32)
 
         eng = jnp.zeros((), jnp.float32)
         vir = jnp.zeros((), jnp.float32)
@@ -303,10 +318,13 @@ def _make_lj_force_pallas_packed(geom: CellGeometry, params: LJParams,
                     mask = rsq < cutsq
                     if dz == 0 and dy == 0:
                         mask = mask & ~self_mask[None, :, :]
+                        rsq_den = rsq + self_eps[None, :, :]
+                    else:
+                        rsq_den = rsq
                     # mask arithmetic instead of selects: sr2 == 0 for
                     # masked pairs, so sr6/fc/eng terms vanish on their own
                     m = mask.astype(jnp.float32)
-                    sr2 = m / (rsq + (1.0 - m))
+                    sr2 = m / rsq_den
                     sr6 = sr2 * sr2 * sr2 * sig6
                     fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
                     facc0 = facc0 + jnp.sum(fc * d0, axis=-1)

@@ -23,6 +23,18 @@ def lost_atom_check(sim) -> int:
     return sim.natoms - int(valid.sum())
 
 
+def tail_corrections(rho: float, cutforce: float) -> tuple[float, float]:
+    """LJ long-range energy/pressure tail corrections (output.cpp:89-92).
+    The reference computes these and never uses them in any printout; we
+    report them in the YAML so the information is actually surfaced."""
+    import math
+    c3 = 1.0 / (3.0 * cutforce ** 3)
+    c9 = 1.0 / (9.0 * cutforce ** 9)
+    engcorr = 8.0 * math.pi * rho * (c9 - c3)
+    prscorr = 8.0 * math.pi * rho * rho * (4.0 * c9 - 2.0 * c3)
+    return engcorr, prscorr
+
+
 def conservation_ratio(rows) -> float:
     """(1.5*T + U) drift ratio between first and last thermo rows
     (output.cpp:172-174)."""
@@ -87,12 +99,31 @@ def per_device_statistics(ssim) -> dict:
 
     h = halo_extent(ssim.geom)
     shell_cells = ((lz + 2 * h) * (ly + 2 * h) * (lx + 2 * h) - lz * ly * lx)
-    return {
+
+    # measured swap sizes: atoms in each device's h-wide boundary slabs per
+    # axis — exactly what a halo exchange ships to the two axis neighbors
+    # (the reference's per-swap size stats, output.cpp:496-547)
+    occ = blocks.sum(axis=6)          # (pz, lz, py, ly, px, lx) atoms/cell
+    hz = min(h, lz)
+    hy = min(h, ly)
+    hx = min(h, lx)
+    swaps = {
+        "z": (occ[:, :hz].sum(axis=(1, 3, 5))
+              + occ[:, lz - hz:].sum(axis=(1, 3, 5))).reshape(-1),
+        "y": (occ[:, :, :, :hy].sum(axis=(1, 3, 5))
+              + occ[:, :, :, ly - hy:].sum(axis=(1, 3, 5))).reshape(-1),
+        "x": (occ[..., :hx].sum(axis=(1, 3, 5))
+              + occ[..., lx - hx:].sum(axis=(1, 3, 5))).reshape(-1),
+    }
+    out = {
         "atoms_per_device": _dist("nlocal", nlocal),
         "atoms_per_device_list": nlocal.tolist(),
         "ghost_cells_per_device": shell_cells,
         "halo_extent_cells": h,
     }
+    for ax, sizes in swaps.items():
+        out[f"swap_atoms_{ax}_per_device"] = _dist(f"swap_{ax}", sizes)
+    return out
 
 
 def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
@@ -134,6 +165,10 @@ def yaml_report(sim, rows, timer, *, nprocs=1, nthreads=1, path=None,
         a(f"  - {{step: {int(r[0])}, T: {r[1]:.6e}, U: {r[2]:.6e}, P: {r[3]:.6e}}}")
     a("")
     a(f"conservation_ratio: {conservation_ratio(rows):.6f}")
+    if inp.forcetype == FORCE_LJ:
+        engcorr, prscorr = tail_corrections(inp.rho, inp.force_cut)
+        a(f"long_range_tail_corrections: {{energy: {engcorr:.6e}, "
+          f"pressure: {prscorr:.6e}}}")
     a(f"lost_atoms: {lost}")
     a("")
     a("time:")

@@ -42,26 +42,16 @@ class ShardedSimulation:
     arrays: tuple   # (x, v, f, typ, valid) device arrays, grid-shaped
     dtforce: float = 0.0
     row0: tuple = (0, 0.0, 0.0, 0.0)   # step-0 thermo (T, U, P)
+    # rebuild closure for capacity grow-and-retry: geom -> (run_fn, force0)
+    _rebuild: object = None
     _timed_cache: dict = dataclasses.field(default_factory=dict)
 
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
-                   safe_exchange=False, ntypes: int = 4, backend: str = "auto"):
-        import jax
-        import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from .. import cells, create
-        from ..config import FORCE_EAM, FORCE_LJ, UNITS_METAL
-        from ..ops.lj import LJParams
-        from ..ops.lj_grid import make_lj_force_grid
-        from ..state import init_state
-        from ..units import thermo_scales
-        from .step import (local_grid_shape, make_sharded_eam_run,
-                           make_sharded_lj_run)
-
-        dtype = dtype or jnp.float32
-        devices = list(devices if devices is not None else jax.devices())
+                   safe_exchange=False, ntypes: int = 4, backend: str = "auto",
+                   capacity: int | None = None):
+        from .. import create
+        from ..config import FORCE_EAM
 
         if inp.datafile is not None:
             # LAMMPS data-file init (ref setup.cpp:215-301), same reader as
@@ -79,25 +69,64 @@ class ShardedSimulation:
 
         if inp.forcetype == FORCE_EAM:
             from ..ops.eam import EAMTables
-            tables = EAMTables.from_funcfl()
-            mass, cut = tables.mass, tables.cut
-        else:
-            tables = None
-            cut = inp.force_cut
+            mass = EAMTables.from_funcfl().mass
 
-        scales = thermo_scales(inp.units, natoms, box.volume)
         # data files carry velocities; generated systems get COM-zero +
         # rescale (setup.cpp:454-494)
         if inp.datafile is None:
+            from ..units import thermo_scales
+            scales = thermo_scales(inp.units, natoms, box.volume)
             v_np = create.create_velocity(v_np, inp.t_request, natoms, mass,
                                           scales.t_scale)
 
-        grid = min_surface_grid(len(devices), box.prd)
+        return ShardedSimulation.from_arrays(
+            inp, box.prd, x_np, v_np, typ_np, mass, devices=devices,
+            dtype=dtype, nbins=nbins, safe_exchange=safe_exchange,
+            backend=backend, capacity=capacity)
+
+    @staticmethod
+    def from_arrays(inp, prd, x_np, v_np, typ_np, mass, *, devices=None,
+                    dtype=None, nbins=None, safe_exchange=False,
+                    backend: str = "auto", capacity: int | None = None,
+                    row0=None):
+        """Build a sharded simulation from explicit state arrays (the
+        checkpoint-resume entry; from_input reduces to this after setup)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .. import cells
+        from ..config import FORCE_EAM, FORCE_LJ, UNITS_METAL
+        from ..ops.lj import LJParams
+        from ..ops.lj_grid import make_lj_force_grid
+        from ..state import init_state
+        from ..units import thermo_scales
+        from .step import (local_grid_shape, make_sharded_eam_run,
+                           make_sharded_lj_run)
+
+        dtype = dtype or jnp.float32
+        devices = list(devices if devices is not None else jax.devices())
+        natoms = len(x_np)
+        ntypes = int(typ_np.max()) + 1 if len(typ_np) else 1
+        prd = tuple(float(p) for p in prd)
+        volume = prd[0] * prd[1] * prd[2]
+
+        if inp.forcetype == FORCE_EAM:
+            from ..ops.eam import EAMTables
+            tables = EAMTables.from_funcfl()
+            mass = tables.mass
+        else:
+            tables = None
+
+        scales = thermo_scales(inp.units, natoms, volume)
+
+        grid = min_surface_grid(len(devices), prd)
         # cell grid must divide the mesh: snap each dim down to a multiple
-        base = cells.choose_grid(box.prd, inp.neigh_cut, nbins)
+        base = cells.choose_grid(prd, inp.neigh_cut, nbins)
         nb = tuple(max(g, (b // g) * g) for b, g in zip(base, grid))
-        geom = cells.build_geometry(box.prd, inp.neigh_cut, x_np, nbins=nb)
-        mesh = make_mesh(devices, box.prd, grid)
+        geom = cells.build_geometry(prd, inp.neigh_cut, x_np, nbins=nb,
+                                    capacity=capacity)
+        mesh = make_mesh(devices, prd, grid)
 
         dtforce = 0.5 * inp.dt
         if inp.units == UNITS_METAL:
@@ -110,32 +139,41 @@ class ShardedSimulation:
         # by the skin-drift bound for normal cadences.
         hops = max(max(mesh.shape.values()) // 2, 1) if safe_exchange else 1
 
-        if inp.forcetype == FORCE_LJ:
-            params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma,
-                                        inp.force_cut)
-            run_fn, sharding = make_sharded_lj_run(
-                geom, params, mesh, scales, mass=mass, dt=inp.dt,
-                dtforce=dtforce, natoms=natoms,
-                neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
-                dtype=dtype, exchange_hops=hops, backend=backend)
-            force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
-        else:
-            run_fn, sharding = make_sharded_eam_run(
-                geom, tables, mesh, scales, mass=mass, dt=inp.dt,
-                dtforce=dtforce, natoms=natoms,
-                neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
-                dtype=dtype, exchange_hops=hops, backend=backend)
-            from ..ops.eam_grid import make_eam_force_grid
-            force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
+        def rebuild(geom):
+            """(run_fn, force0) for a geometry — reused by the capacity
+            grow-and-retry path (the reference's bin-resize semantics,
+            neighbor.cpp:241-261)."""
+            if inp.forcetype == FORCE_LJ:
+                params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma,
+                                            inp.force_cut)
+                run_fn, _ = make_sharded_lj_run(
+                    geom, params, mesh, scales, mass=mass, dt=inp.dt,
+                    dtforce=dtforce, natoms=natoms,
+                    neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
+                    dtype=dtype, exchange_hops=hops, backend=backend)
+                force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
+            else:
+                run_fn, _ = make_sharded_eam_run(
+                    geom, tables, mesh, scales, mass=mass, dt=inp.dt,
+                    dtforce=dtforce, natoms=natoms,
+                    neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
+                    dtype=dtype, exchange_hops=hops, backend=backend)
+                from ..ops.eam_grid import make_eam_force_grid
+                force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
+            return run_fn, force0
+
+        run_fn, force0 = rebuild(geom)
+        sharding = NamedSharding(mesh, P(None, "z", "y", "x", None))
 
         st = init_state(x_np, v_np, typ_np, geom, dtype=dtype)
         f0, eng0, vir0 = jax.jit(force0)(st.x, st.typ)
 
-        from .. import thermo
-        t0 = float(thermo.temperature(jnp.asarray(st.v), mass, scales))
-        u0 = float(thermo.energy(eng0, natoms, scales))
-        p0 = float(thermo.pressure(jnp.asarray(t0), vir0, scales))
-        row0 = (0, t0, u0, p0)
+        if row0 is None:
+            from .. import thermo
+            t0 = float(thermo.temperature(jnp.asarray(st.v), mass, scales))
+            u0 = float(thermo.energy(eng0, natoms, scales))
+            p0 = float(thermo.pressure(jnp.asarray(t0), vir0, scales))
+            row0 = (0, t0, u0, p0)
 
         nbx, nby, nbz = geom.nb
         gs = (3, nbz, nby, nbx, geom.capacity)
@@ -151,7 +189,7 @@ class ShardedSimulation:
         return ShardedSimulation(
             inp=inp, geom=geom, mesh=mesh, run_fn=run_fn, sharding=sharding,
             natoms=natoms, scales=scales, mass=mass, arrays=arrays,
-            dtforce=dtforce, row0=row0)
+            dtforce=dtforce, row0=row0, _rebuild=rebuild)
 
     def run(self, ntimes: int, n0: int = 0):
         """Run ntimes steps; returns the (ntimes, 3) T/U/P trace. n0 is the
@@ -160,15 +198,75 @@ class ShardedSimulation:
         import jax
         import numpy as np
 
+        arrays_before = self.arrays
         x, v, f, typ, valid, ovf, trace = self.run_fn(*self.arrays, ntimes,
                                                       n0)
         self.arrays = (x, v, f, typ, valid)
-        if int(ovf) > 0:
+        ovf_move, ovf_cap = int(ovf[0]), int(ovf[1])
+        if ovf_move > 0:
+            # atoms moved farther than the exchange forwards per interval:
+            # no capacity can fix that — fail loudly with the remedy the
+            # reference offers (comm.cpp:599-689)
             raise RuntimeError(
-                f"migration/capacity overflow: {int(ovf)} atom(s) did not "
-                f"fit (cell capacity {self.geom.capacity}); rebuild with a "
-                "larger capacity")
+                f"migration overflow: {ovf_move} atom(s) moved beyond the "
+                "exchange reach in one reneighbor interval; rerun with "
+                "--safe_exchange (multi-hop migration) or reneighbor more "
+                "often")
+        if ovf_cap > 0:
+            # transparent grow-and-retry (the reference's bin-resize
+            # semantics, neighbor.cpp:241-261): the overflowed trajectory
+            # dropped atoms, so restore the pre-dispatch state, rebuild
+            # with more capacity, replay
+            if self._rebuild is None or self.geom.capacity >= 4 * 128:
+                raise RuntimeError(
+                    f"cell capacity overflow: {ovf_cap} atom(s) did not "
+                    f"fit (cell capacity {self.geom.capacity}); rebuild "
+                    "with a larger capacity")
+            newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
+            print(f"# resize: cell capacity {self.geom.capacity} -> "
+                  f"{newcap} (migration overflow), replaying interval")
+            self._regrow(arrays_before, newcap)
+            return self.run(ntimes, n0)
         return np.asarray(jax.device_get(trace))
+
+    def _regrow(self, arrays, capacity: int):
+        """Re-lay the sharded state out with a larger cell capacity (same
+        grid, so the mesh divisibility is preserved); forces are recomputed
+        from positions, so physics is unchanged up to summation order."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .. import cells
+        from ..state import init_state
+
+        x, v, f, typ, valid = (np.asarray(jax.device_get(a)) for a in arrays)
+        ok = valid.reshape(-1)
+        prd = np.asarray(self.geom.prd)
+        xs = np.mod(x.reshape(3, -1).T[ok], prd)  # fold unfolded coords
+        vs = v.reshape(3, -1).T[ok]
+        ts = typ.reshape(-1)[ok]
+        dtype = arrays[0].dtype
+
+        self.geom = cells.build_geometry(prd, self.inp.neigh_cut, xs,
+                                         nbins=self.geom.nb,
+                                         capacity=capacity)
+        self.run_fn, force0 = self._rebuild(self.geom)
+        self._timed_cache.clear()
+
+        import jax.numpy as jnp
+        st = init_state(xs, vs, ts, self.geom, dtype=dtype)
+        f0, _, _ = jax.jit(force0)(st.x, st.typ)
+        nbx, nby, nbz = self.geom.nb
+        gs = (3, nbz, nby, nbx, self.geom.capacity)
+        gs1 = (nbz, nby, nbx, self.geom.capacity)
+        sh1 = NamedSharding(self.mesh, P("z", "y", "x", None))
+        self.arrays = (
+            jax.device_put(np.asarray(st.x).reshape(gs), self.sharding),
+            jax.device_put(np.asarray(st.v).reshape(gs), self.sharding),
+            jax.device_put(np.asarray(f0).reshape(gs), self.sharding),
+            jax.device_put(np.asarray(st.typ).reshape(gs1), sh1),
+            jax.device_put(np.asarray(st.valid).reshape(gs1), sh1),
+        )
 
     @property
     def state(self):

@@ -36,7 +36,12 @@ def _device_span(geom: CellGeometry, mesh: Mesh):
 def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
                         buf_cap: int | None = None, hops: int = 1):
     """Returns a function (x, v, typ, valid) -> (x, v, typ, valid, overflow)
-    operating on device-local flat arrays inside shard_map.
+    operating on device-local flat arrays inside shard_map. overflow is an
+    int32 (2,) vector [movement, capacity]: movement counts atoms the
+    exchange could not place (buffer overflow or farther than `hops`
+    devices — the reference would silently lose these, comm.cpp:364-597;
+    --safe_exchange raises hops), capacity counts per-cell slot overflow
+    (fixable by growing the cell capacity — neighbor.cpp:241-261).
 
     x rows are positions (may be slightly outside the box), valid marks
     occupied slots. The result is the device's local cell-major block.
@@ -86,7 +91,8 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
         xw = jnp.where(xw >= p, xw - p, xw)
 
         pool_x, pool_v, pool_t, pool_ok = xw, v, typ, valid
-        overflow = jnp.zeros((), jnp.int32)
+        ovf_move = jnp.zeros((), jnp.int32)
+        ovf_cap = jnp.zeros((), jnp.int32)
 
         for name in ("x", "y", "z"):
             n = mesh.shape[name]
@@ -123,7 +129,7 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
 
                 blo = pack(leave_lo)
                 bhi = pack(leave_hi)
-                overflow = overflow + blo[4] + bhi[4]
+                ovf_move = ovf_move + blo[4] + bhi[4]
 
                 down = [(i, (i - 1) % n) for i in range(n)]
                 up = [(i, (i + 1) % n) for i in range(n)]
@@ -152,7 +158,7 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
             & (loc[1] >= 0) & (loc[1] < ly)
             & (loc[2] >= 0) & (loc[2] < lz)
         )
-        overflow = overflow + jnp.sum(pool_ok & ~inside).astype(jnp.int32)
+        ovf_move = ovf_move + jnp.sum(pool_ok & ~inside).astype(jnp.int32)
         cid = (loc[2] * ly + loc[1]) * lx + loc[0]
         ncl = lx * ly * lz
         cid = jnp.where(pool_ok & inside, cid, ncl)
@@ -163,7 +169,7 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
         rank = jnp.arange(len(cid), dtype=jnp.int32) - starts[jnp.clip(sort_cid, 0, ncl)]
         ok = (sort_cid < ncl) & (rank < C)
         dest = jnp.where(ok, sort_cid * C + rank, M_local)
-        overflow = overflow + jnp.sum((sort_cid < ncl) & (rank >= C)).astype(jnp.int32)
+        ovf_cap = ovf_cap + jnp.sum((sort_cid < ncl) & (rank >= C)).astype(jnp.int32)
 
         # storage ("unfolded") coordinates relative to the grid offset
         off = jnp.asarray(offset, dtype=pool_x.dtype)[:, None]
@@ -178,6 +184,6 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
             pool_t[order], mode="drop")
         new_ok = jnp.zeros((M_local,), bool).at[dest].set(
             pool_ok[order], mode="drop")
-        return new_x, new_v, new_t, new_ok, overflow
+        return new_x, new_v, new_t, new_ok, jnp.stack([ovf_move, ovf_cap])
 
     return exchange_rebin

@@ -280,9 +280,11 @@ def make_sharded_lj_run(
             return (x, v, f, typ, valid, ovf), row
 
         # overflow starts device-varying (axis_index) so the cond branches
-        # agree on shard_map's varying-axes typing
-        ovf0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
-                + jax.lax.axis_index("x") * 0).astype(jnp.int32)
+        # agree on shard_map's varying-axes typing; (2,) = [movement,
+        # capacity] counts (see comm.make_exchange_rebin)
+        z0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
+              + jax.lax.axis_index("x") * 0).astype(jnp.int32)
+        ovf0 = jnp.stack([z0, z0])
         carry0 = (x, v, f, typ, valid, ovf0)
         (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
             body, carry0, jnp.arange(ntimes))
@@ -402,8 +404,9 @@ def make_sharded_eam_run(
             row = jnp.where(ev, row, jnp.zeros_like(row))
             return (x, v, f, typ, valid, ovf), row
 
-        ovf0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
-                + jax.lax.axis_index("x") * 0).astype(jnp.int32)
+        z0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
+              + jax.lax.axis_index("x") * 0).astype(jnp.int32)
+        ovf0 = jnp.stack([z0, z0])
         carry0 = (x, v, f, typ, valid, ovf0)
         (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
             body, carry0, jnp.arange(ntimes))

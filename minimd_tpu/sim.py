@@ -116,6 +116,12 @@ class Simulation:
                                  and int(_np.abs(geom.stencil).max()) == 1
                                  and backend != "grid")
                     if pallas_ok:
+                        # NOTE: the gather-table variant
+                        # (make_eam_force_pallas_rows) measured SLOWER
+                        # (7.57 vs 9.45 Matom-steps/s at 131k) — Mosaic's
+                        # dynamic_gather costs ~a degree-20 Horner per
+                        # 4-coeff eval; kept in-tree as a documented
+                        # negative result, not wired here.
                         from .ops.eam_pallas import make_eam_force_pallas
                         return make_eam_force_pallas(geom, tables, ntypes,
                                                      dtype=dtype)
@@ -426,39 +432,43 @@ class Simulation:
 
         ntimes = self.inp.ntimes if ntimes is None else ntimes
         every = self.inp.neigh_every
-        geom = self.geom
 
-        if "timed" not in self._jit_cache:
-            step, _ = self._make_step_fns()
-            dt = jnp.asarray(self.inp.dt, self.dtype)
-            dtf = jnp.asarray(self.dtforce, self.dtype)
+        def timed_fns():
+            if "timed" not in self._jit_cache:
+                geom = self.geom
+                step, _ = self._make_step_fns()
+                dt = jnp.asarray(self.inp.dt, self.dtype)
+                dtf = jnp.asarray(self.dtforce, self.dtype)
 
-            def drift_fn(s: MDState):
-                v = s.v + dtf * s.f
-                x = s.x + dt * v
-                return s._replace(x=x, v=v)
+                def drift_fn(s: MDState):
+                    v = s.v + dtf * s.f
+                    x = s.x + dt * v
+                    return s._replace(x=x, v=v)
 
-            def rebin_fn(s: MDState):
-                x, v, typ, valid, ovf = cells.rebin(s.x, s.v, s.typ,
-                                                    s.valid, geom)
-                return MDState(x=x, v=v, f=s.f, typ=typ, valid=valid,
-                               overflow=s.overflow + ovf)
+                def rebin_fn(s: MDState):
+                    x, v, typ, valid, ovf = cells.rebin(s.x, s.v, s.typ,
+                                                        s.valid, geom)
+                    return MDState(x=x, v=v, f=s.f, typ=typ, valid=valid,
+                                   overflow=s.overflow + ovf)
 
-            def force_kick_fn(s: MDState):
-                f, eng, vir = self.force_fn(s.x, s.typ)
-                v = s.v + dtf * f
-                s = s._replace(v=v, f=f)
-                t = thermo.temperature(v, self.mass, self.scales)
-                u = thermo.energy(eng, self.natoms, self.scales)
-                p = thermo.pressure(t, vir, self.scales)
-                return s, jnp.stack([t, u, p])
+                def force_kick_fn(s: MDState):
+                    f, eng, vir = self.force_fn(s.x, s.typ)
+                    v = s.v + dtf * f
+                    s = s._replace(v=v, f=f)
+                    t = thermo.temperature(v, self.mass, self.scales)
+                    u = thermo.energy(eng, self.natoms, self.scales)
+                    p = thermo.pressure(t, vir, self.scales)
+                    return s, jnp.stack([t, u, p])
 
-            self._jit_cache["timed"] = (
-                jax.jit(lambda s, n0, length: jax.lax.scan(
-                    step, s, n0 + jnp.arange(length)), static_argnums=2),
-                jax.jit(drift_fn), jax.jit(rebin_fn), jax.jit(force_kick_fn),
-            )
-        scan_steps, drift, rebin_jit, force_kick = self._jit_cache["timed"]
+                self._jit_cache["timed"] = (
+                    jax.jit(lambda s, n0, length: jax.lax.scan(
+                        step, s, n0 + jnp.arange(length)), static_argnums=2),
+                    jax.jit(drift_fn), jax.jit(rebin_fn),
+                    jax.jit(force_kick_fn),
+                )
+            return self._jit_cache["timed"]
+
+        scan_steps, drift, rebin_jit, force_kick = timed_fns()
 
         def sync(s):
             jax.block_until_ready(s.x)
@@ -494,7 +504,23 @@ class Simulation:
                               "pairs may be missed — increase reneighboring "
                               "frequency or the skin (integrate.cpp:112-151 "
                               "analog)")
+                s_pre = s
                 s = rebin_jit(s)
+                if int(s.overflow) > 0:
+                    # transparent grow-and-retry, same semantics as run()
+                    # (neighbor.cpp:241-261): the host re-layout IS the
+                    # rebin, so continue the interval from the regrown state
+                    if self._make_force is None or self.geom.capacity >= 4 * 128:
+                        raise RuntimeError(
+                            f"cell capacity overflow during timed run "
+                            f"(capacity {self.geom.capacity}); rebuild with "
+                            "a larger --capacity")
+                    newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
+                    print(f"# resize: cell capacity {self.geom.capacity} -> "
+                          f"{newcap} (rebin overflow), re-laying out")
+                    self._regrow(s_pre, newcap)
+                    s = self.state
+                    scan_steps, drift, rebin_jit, force_kick = timed_fns()
                 if check_exchange:
                     xold = s.x
                 sync(s)
@@ -506,7 +532,9 @@ class Simulation:
                 timer.stamp(TIME_FORCE)
         self.state = s
         if int(self.state.overflow) > 0:
-            raise RuntimeError("cell capacity overflow during timed run")
+            raise RuntimeError(
+                "cell capacity overflow during timed run; rebuild with a "
+                "larger --capacity")
         _, eng, vir = self._jit("force_ev", self.force_fn)(s.x, s.typ)
         self.eng_vdwl, self.virial = eng, vir
         return np.asarray([[r[1], r[2], r[3]] for r in rows])

@@ -2,7 +2,8 @@
 """Golden-trace validation sweep — the reference's `run_tests` harness
 (ref/run_tests:1-150) as a Python driver.
 
-Sweeps system sizes x force styles x device counts against the golden logs
+Sweeps system sizes x force styles (x device counts via --devices, x Newton
+half-neighbor paths via --half_neigh) against the golden logs
 in tests/golden/ using the reference's statistical acceptance criterion.
 Device-count sweeps run on a virtual CPU mesh (the mpirun-on-one-node
 analog); pass --tpu to run the f32 fast path on the real chip instead.
@@ -23,7 +24,9 @@ sys.path.insert(0, str(ROOT))
 SIZES = {10: "4k", 16: "16k", 20: "32k", 30: "108k", 40: "256k", 60: "864k"}
 
 
-def run_case(input_name, size, steps, precision, backend):
+def run_case(input_name, size, steps, precision, backend, devices=1,
+             half_neigh=False):
+    import jax
     import jax.numpy as jnp
 
     from minimd_tpu.config import builtin_deck
@@ -66,7 +69,17 @@ def run_case(input_name, size, steps, precision, backend):
         write_lammps_data(tmp.name, box, x, v, mass=mass)
         inp.datafile = tmp.name
 
-    sim = Simulation.from_input(inp, dtype=dtype, backend=backend)
+    if devices > 1:
+        # multi-device golden acceptance on the virtual CPU mesh — the
+        # reference's mpirun-on-one-node rank sweep (ref/run_tests:62-150)
+        from minimd_tpu.parallel import ShardedSimulation
+        if len(jax.devices()) < devices:
+            return None, f"only {len(jax.devices())} devices available"
+        sim = ShardedSimulation.from_input(inp, devices=jax.devices()[:devices],
+                                           dtype=dtype, backend=backend)
+    else:
+        sim = Simulation.from_input(inp, dtype=dtype, backend=backend,
+                                    half_neigh=half_neigh)
     trace = sim.run(steps)
     rows = sim.thermo_trace(trace)
     res = compare_traces(rows, golden.rows, natoms=sim.natoms,
@@ -84,7 +97,23 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--tpu", action="store_true",
                     help="run f32 on the accelerator instead of f64 CPU")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="run the sweep over N virtual CPU devices "
+                         "(ShardedSimulation; the reference's multi-rank "
+                         "sweep, ref/run_tests:62-150)")
+    ap.add_argument("--half_neigh", type=int, default=0, choices=[0, 1],
+                    help="1 = sweep the Newton half-neighbor force paths")
     args = ap.parse_args()
+
+    if args.devices > 1:
+        if args.tpu:
+            sys.exit("--devices requires the virtual CPU mesh (no --tpu)")
+        import os
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.devices}"
+            ).strip()
 
     if not args.tpu:
         import jax
@@ -150,8 +179,12 @@ def main():
 
     failed = 0
     for input_name, size, steps in cases:
-        res, skip = run_case(input_name, size, steps, precision, backend)
-        tag = f"{input_name} -s {size} -n {steps} (precision {precision})"
+        res, skip = run_case(input_name, size, steps, precision, backend,
+                             devices=args.devices,
+                             half_neigh=bool(args.half_neigh))
+        tag = (f"{input_name} -s {size} -n {steps} (precision {precision}"
+               + (f", devices {args.devices}" if args.devices > 1 else "")
+               + (", half_neigh" if args.half_neigh else "") + ")")
         if skip:
             print(f"SKIP   {tag}: {skip}")
             continue

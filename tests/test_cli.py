@@ -127,3 +127,43 @@ def test_cli_datafile_and_precision2(tmp_path):
 def test_cli_sse_exits():
     with pytest.raises(SystemExit):
         main(["-sse", "1"])
+
+
+def test_cli_nstat0_start_end_rows():
+    """thermo_nstat = 0 prints exactly the start + end rows
+    (ref thermo.cpp:49-50,95-99)."""
+    import re
+    import tempfile
+    import pathlib
+
+    deck = pathlib.Path(tempfile.mkdtemp()) / "in.nstat0"
+    base = pathlib.Path(__file__).resolve().parent.parent / "inputs" / "in.lj.miniMD"
+    lines = base.read_text().splitlines()
+    lines[-1] = "0              thermo calculation every this many steps (0 = start,end)"
+    deck.write_text("\n".join(lines) + "\n")
+
+    out = _run(["-i", str(deck), "-s", "6", "-n", "30"])
+    rows = [l for l in out.splitlines()
+            if re.match(r"^\d+ -?\d\.\d+e[+-]\d+ ", l)]
+    assert [int(r.split()[0]) for r in rows] == [0, 30]
+    # the end row carries real energy (not a zeroed no-ev row)
+    assert abs(float(rows[1].split()[2])) > 1.0
+
+
+def test_cli_sharded_check_exchange_and_half_neigh_notice():
+    """--check_exchange is routed on the sharded path (drift audit runs);
+    --half_neigh 1 prints an explicit unsupported notice (no silent drop)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    out = _run(["-s", "10", "-n", "20", "--devices", "8",
+                "--check_exchange", "--half_neigh", "1"])
+    assert "not supported with --devices" in out
+    assert "PERF_SUMMARY" in out
+
+
+def test_cli_eam_half_neigh_runs():
+    out = _run(["-i", "inputs/in.eam.miniMD", "-s", "4", "-n", "10",
+                "--half_neigh", "1", "--precision", "2"])
+    assert "PERF_SUMMARY" in out
+    # EAM step-0 golden temperature (metal units)
+    assert "0 6.000000e+02" in out

@@ -161,3 +161,47 @@ def test_eam_half_neighbor_full_run():
     tr_f = sim_f.run(40)
     tr_h = sim_h.run(40)
     np.testing.assert_allclose(tr_h, tr_f, rtol=1e-9, atol=1e-9)
+
+
+def test_eam_gather_table_kernel_matches_exact():
+    """The gather-table pallas kernel (interpret mode) must match the
+    exact f64 spline path to the same precision class as the polynomial
+    kernel (f32 input rounding dominates both)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.ops.eam import EAMTables, make_eam_force
+    from minimd_tpu.ops.eam_pallas import make_eam_force_pallas_rows
+
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = 6
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim.run(5)
+    geom, typ = sim.geom, sim.state.typ
+    tables = EAMTables.from_funcfl()
+    x64 = sim.state.x
+    x32 = x64.astype(jnp.float32)
+
+    fe, ee, ve = jax.jit(make_eam_force(geom, tables, dtype=jnp.float64))(
+        x64, typ)
+    r_ev, r_noev = make_eam_force_pallas_rows(geom, tables,
+                                              dtype=jnp.float32,
+                                              interpret=True)
+    fr, er, vr = jax.jit(r_ev)(x32, typ)
+
+    valid = np.asarray(sim.state.valid)
+    fe_ = np.asarray(fe)[:, valid]
+    fr_ = np.asarray(fr)[:, valid]
+    scale = np.abs(fe_).max()
+    # bound: f32 position rounding + table error (measured ~3e-5 at 8^3;
+    # the polynomial kernel sits at the same scale on identical input)
+    assert np.abs(fr_ - fe_).max() / scale < 2e-4
+    assert abs(float(er) - float(ee)) / abs(float(ee)) < 1e-5
+    assert abs(float(vr) - float(ve)) / abs(float(ve)) < 1e-4
+
+    fn, en, vn = jax.jit(r_noev)(x32, typ)
+    assert np.abs(np.asarray(fn)[:, valid] - fr_).max() == 0.0
+    assert float(en) == 0.0 and float(vn) == 0.0

@@ -136,3 +136,49 @@ def test_half_neighbor_matches_full():
         st.x, st.typ)
     np.testing.assert_array_equal(np.asarray(fh2), np.asarray(fh))
     assert float(eh2) == 0.0
+
+
+def test_run_timed_overflow_grow_and_continue():
+    """run_timed must recover from a rebin capacity overflow by growing
+    and re-laying out (same semantics as run(); VERDICT: raise-only before).
+    Overflow is forced deterministically: capacity capped at the initial
+    max occupancy, then an atom is teleported into the fullest cell."""
+    import numpy as np
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.timer import Timer
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    probe = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    C = probe.geom.capacity
+    occ = np.asarray(probe.state.valid).reshape(-1, C).sum(axis=1)
+    cap = int(occ.max())
+
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla",
+                                capacity=cap)
+    occ = np.asarray(sim.state.valid).reshape(-1, cap).sum(axis=1)
+    full_cell = int(occ.argmax())
+    assert occ[full_cell] == cap
+
+    # teleport an atom from another cell into the full cell's center
+    nbx, nby, nbz = sim.geom.nb
+    iz, rem = divmod(full_cell, nby * nbx)
+    iy, ix = divmod(rem, nbx)
+    center = [sim.geom.offset[d] + (idx + 0.5) * sim.geom.binsize[d]
+              for d, idx in enumerate((ix, iy, iz))]
+    victim_cell = int(np.argmax(
+        (occ > 0) & (np.arange(len(occ)) != full_cell)))
+    assert victim_cell != full_cell and occ[victim_cell] > 0
+    victim_slot = victim_cell * cap + int(
+        np.asarray(sim.state.valid).reshape(-1, cap)[victim_cell].argmax())
+    x = np.array(sim.state.x)
+    x[:, victim_slot] = center
+    sim.state = sim.state._replace(x=jnp.asarray(x))
+
+    trace = sim.run_timed(Timer(), sim.inp.neigh_every)
+    assert sim.geom.capacity > cap          # the grow fired
+    assert int(sim.state.overflow) == 0
+    assert int(np.asarray(sim.state.valid).sum()) == sim.natoms
+    assert np.all(np.isfinite(trace))

@@ -336,7 +336,7 @@ def test_multihop_migration_places_teleported_atoms():
 
     # hops=4 (half the ring): every teleporter must be placed
     xo, vo, to, oko, ovf = run_with(4)
-    assert int(ovf) == 0
+    assert int(np.asarray(ovf).sum()) == 0
     ok = np.asarray(oko).reshape(-1)
     assert int(ok.sum()) == natoms
     # every occupied slot holds an atom whose cell matches its position
@@ -350,9 +350,13 @@ def test_multihop_migration_places_teleported_atoms():
     slot_cell = np.arange(geom.nslots) // C
     assert np.all(cid[ok] == slot_cell[ok])
 
-    # hops=1 cannot place multi-device movers: loud overflow
+    # hops=1 cannot place multi-device movers: loud MOVEMENT overflow
+    # (ovf = [movement, capacity]; capacity growth can never fix this, so
+    # the runner raises with the --safe_exchange remedy instead of
+    # spinning in the grow loop)
     *_, ovf1 = run_with(1)
-    assert int(ovf1) > 0
+    assert int(np.asarray(ovf1)[0]) > 0
+    assert int(np.asarray(ovf1)[1]) == 0
 
 
 def test_sharded_per_type_params_matches_single_device():
@@ -640,3 +644,35 @@ def test_sharded_nstat0_start_end_rows():
     rows = ssim.thermo_trace(ssim.run(37))
     assert [int(r[0]) for r in rows] == [0, 37]
     assert all(abs(r[2]) > 1.0 for r in rows)
+
+
+def test_sharded_overflow_grow_and_replay():
+    """The sharded runner must recover from a migration capacity overflow
+    by growing and replaying (raise-only before; VERDICT r2 item 8).
+
+    Overflow is forced deterministically with physics left intact: cell
+    capacity is capped at the t=0 max occupancy, and natural thermal
+    fluctuation pushes a cell one past it at the step-45 migration
+    (measured, f64 deterministic)."""
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.parallel import ShardedSimulation
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 10
+    inp.neigh_every = 5
+    probe = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                         dtype=jnp.float64)
+    C = probe.geom.capacity
+    valid = np.asarray(jax.device_get(probe.arrays[4]))
+    cap = int(valid.reshape(-1, C).sum(axis=1).max())
+
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64, capacity=cap)
+    trace = ssim.run(50)
+    assert ssim.geom.capacity > cap          # grow-and-replay fired
+    valid = np.asarray(jax.device_get(ssim.arrays[4]))
+    assert int(valid.sum()) == ssim.natoms
+    assert np.all(np.isfinite(trace))
+    # physics must match the probe (which had capacity headroom all along)
+    tr_ref = probe.run(50)
+    np.testing.assert_allclose(trace[:, 0], tr_ref[:, 0], rtol=1e-10)

@@ -80,7 +80,12 @@ def test_all_shipped_decks_parse_and_run():
 
     here = pathlib.Path(__file__).resolve().parent.parent / "inputs"
     decks = {p.name: parse_deck(p) for p in sorted(here.glob("in.*"))}
-    assert len(decks) == 6
+    assert len(decks) == 7
+
+    ecomd = decks["in.eam.miniMD_comd"]
+    assert ecomd.forcetype == FORCE_EAM and ecomd.units == 1
+    assert ecomd.rho == 0.084671077 and ecomd.thermo_nstat == 10
+    assert ecomd.force_cut == 4.95 and ecomd.neigh_cut == 4.95 + 0.50
 
     comd = decks["in.lj.miniMD_comd"]
     assert comd.epsilon == 0.167 and comd.sigma == 2.315
