@@ -46,9 +46,30 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                           nb_local=None, exchanges=None, fp_exchange=None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
 
-    nb_local/exchanges/fp_exchange: device-local grid shape and halo hooks
-    for sharded execution (same contract as make_eam_force_grid); the
-    embedding-derivative halo between the passes rides the same hooks."""
+    Single device: the fused variant (periodic wrap in the BlockSpec index
+    maps, candidates packed straight from the raw grids — no halo-padded
+    grids in HBM; same scheme as the LJ fused kernel). Sharded
+    (nb_local/exchanges given): halos come from mesh neighbors via the
+    exchange hooks, so the padded-grid prologue remains."""
+    if nb_local is None and exchanges is None and fp_exchange is None:
+        return _make_eam_force_pallas_fused(geom, tables, ntypes,
+                                            dtype=dtype, degree=degree,
+                                            interpret=interpret)
+    return _make_eam_force_pallas_packed(geom, tables, ntypes, dtype=dtype,
+                                         degree=degree, interpret=interpret,
+                                         nb_local=nb_local,
+                                         exchanges=exchanges,
+                                         fp_exchange=fp_exchange)
+
+
+def _make_eam_force_pallas_packed(geom: CellGeometry, tables: EAMTables,
+                                  ntypes: int = 1, dtype=jnp.float32,
+                                  degree: int | None = None,
+                                  interpret: bool = False,
+                                  nb_local=None, exchanges=None,
+                                  fp_exchange=None):
+    """Padded-grid variant (XLA halo fill + lane packing prologue) — the
+    sharded path, where halos come from mesh neighbors."""
     assert dtype == jnp.float32, "pallas EAM kernel is f32"
     h = halo_extent(geom)
     assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
@@ -540,6 +561,222 @@ def make_eam_force_pallas_rows(geom: CellGeometry, tables: EAMTables,
             f, eng, vir = force_call(
                 *jargs, *([FP] * 9), *g, fpg,
                 tabs["G1"], tabs["G2"], tabs["P"])
+            eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
+            return f.reshape(3, M), eng_vdwl, jnp.sum(vir)
+
+        return force
+
+    return build(True), build(False)
+
+
+def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
+                                 ntypes: int = 1, dtype=jnp.float32,
+                                 degree: int | None = None,
+                                 interpret: bool = False):
+    """Fused single-device EAM kernels: periodic z/y wrap in the BlockSpec
+    index maps with in-kernel ±prd scalar shifts, candidates packed
+    [x-1 | x | x+1] straight from the raw grids by slice-concats (thin
+    wrap-column fix), the fp halo likewise (a scalar field — no fix). The
+    padded grids + pack_lanes passes of the packed variant (~4.3 ms/step of
+    XLA fusions at 131k, profiled) do not exist here.
+
+    Pair evaluation is the polynomial-table scheme (eam_file
+    build_pair_polys via eval_pair_fns), identical to the packed variant.
+    """
+    assert dtype == jnp.float32, "pallas EAM kernel is f32"
+    h = halo_extent(geom)
+    assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
+
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    M = nbx * nby * nbz * C
+    LANE = _round_up(3 * C, 128)
+    prx, pry, prz = (float(p) for p in geom.prd)
+
+    polys = build_pair_polys(tables, degree=degree)
+    cutsq = float(tables.cut ** 2)
+
+    frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
+    rdrho = 1.0 / tables.drho
+    nrho = tables.nrho
+
+    def self_mask_2d():
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
+        sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
+        return (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
+
+    def pair_r(j_refs, xi, dz, dy, z, y):
+        zs = jnp.where(z + dz < 0, -prz,
+                       jnp.where(z + dz >= nbz, prz, 0.0)).astype(jnp.float32)
+        ys = jnp.where(y + dy < 0, -pry,
+                       jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
+        k = (dz + 1) * 3 + (dy + 1)
+        j0 = j_refs[0 * 9 + k][0, 0][:, None, :]   # (nbx, 1, LANE)
+        j1 = j_refs[1 * 9 + k][0, 0][:, None, :] + ys
+        j2 = j_refs[2 * 9 + k][0, 0][:, None, :] + zs
+        d0 = xi[0][:, :, None] - j0                # (nbx, C, LANE)
+        d1 = xi[1][:, :, None] - j1
+        d2 = xi[2][:, :, None] - j2
+        rsq = d0 * d0 + d1 * d1 + d2 * d2
+        mask = rsq < cutsq
+        if dz == 0 and dy == 0:
+            mask = mask & ~self_mask_2d()[None, :, :]
+        m = mask.astype(jnp.float32)
+        # no masking blend: sentinels are >=1e3 apart (cells.py) so masked
+        # rsq is large-but-finite and the eval clamps keep polys bounded
+        r = jnp.sqrt(rsq)
+        return (d0, d1, d2), rsq, r, m
+
+    def rho_kernel(*refs):
+        j_refs = refs[0:27]
+        xi_refs = refs[27:30]
+        rho_ref = refs[30]
+        z = pl.program_id(0)
+        y = pl.program_id(1)
+        xi = [xr[0, 0] for xr in xi_refs]
+        rho = jnp.zeros((nbx, C), jnp.float32)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                _, _, r, m = pair_r(j_refs, xi, dz, dy, z, y)
+                val = eval_pair_fns(r, polys, ("R",))["R"]
+                rho = rho + jnp.sum(val * m, axis=-1)
+        rho_ref[0, 0] = rho
+
+    def force_kernel(*refs, evflag: bool):
+        j_refs = refs[0:27]
+        fp_refs = refs[27:36]     # packed fp rows, (dz, dy) wrapped views
+        xi_refs = refs[36:39]
+        fpi_ref = refs[39]        # (1, 1, nbx, C) own fp
+        f_ref, eng_ref, vir_ref = refs[40], refs[41], refs[42]
+        z = pl.program_id(0)
+        y = pl.program_id(1)
+
+        @pl.when((z == 0) & (y == 0))
+        def _init():
+            eng_ref[...] = jnp.zeros((8, 128), jnp.float32)
+            vir_ref[...] = jnp.zeros((8, 128), jnp.float32)
+
+        xi = [xr[0, 0] for xr in xi_refs]
+        fp_i = fpi_ref[0, 0]                       # (nbx, C)
+
+        facc = [jnp.zeros((nbx, C), jnp.float32) for _ in range(3)]
+        eng = jnp.zeros((), jnp.float32)
+        vir = jnp.zeros((), jnp.float32)
+        names = ("G1", "G2", "P") if evflag else ("G1", "G2")
+
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                (d0, d1, d2), rsq, r, m = pair_r(j_refs, xi, dz, dy, z, y)
+                g = eval_pair_fns(r, polys, names)
+                k = (dz + 1) * 3 + (dy + 1)
+                fp_j = fp_refs[k][0, 0][:, None, :]       # (nbx, 1, LANE)
+                psip = (fp_i[:, :, None] + fp_j) * g["G1"] + g["G2"]
+                fpair = -psip * m
+                facc[0] = facc[0] + jnp.sum(fpair * d0, axis=-1)
+                facc[1] = facc[1] + jnp.sum(fpair * d1, axis=-1)
+                facc[2] = facc[2] + jnp.sum(fpair * d2, axis=-1)
+                if evflag:
+                    eng = eng + jnp.sum(g["P"] * m)
+                    vir = vir + 0.5 * jnp.sum(rsq * fpair)
+
+        f_ref[0, 0, 0] = facc[0]
+        f_ref[1, 0, 0] = facc[1]
+        f_ref[2, 0, 0] = facc[2]
+        if evflag:
+            # per-program accumulator cells: tree-shaped cross-program sum
+            cell = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == z % 8) & (
+                jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == y % 128)
+            eng_ref[...] += jnp.where(cell, eng, 0.0)
+            vir_ref[...] += jnp.where(cell, vir, 0.0)
+
+    def pack_candidates(g, c):
+        """Raw (nbz, nby, nbx, C) grid -> (nbz, nby, nbx, LANE) packed
+        candidates; c == 0 gets the x-boundary image fix, c < 0 none (the
+        fp scalar field). Pure slice-concats (see lj_pallas)."""
+        wrap_l = g[:, :, nbx - 1:]
+        wrap_r = g[:, :, :1]
+        if c == 0:
+            wrap_l = wrap_l - prx
+            wrap_r = wrap_r + prx
+        left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
+        right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
+        parts = [left, g, right]
+        if LANE > 3 * C:
+            parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
+                                  g.dtype))
+        return jnp.concatenate(parts, axis=-1)
+
+    def embedding(rho, valid, evflag: bool):
+        p = rho * rdrho + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
+        p = jnp.minimum(p - m.astype(dtype), 1.0)
+        fp = (jnp.take(frho_sp[:, 0], m) * p + jnp.take(frho_sp[:, 1], m)) * p \
+            + jnp.take(frho_sp[:, 2], m)
+        if evflag:
+            emb = ((jnp.take(frho_sp[:, 3], m) * p + jnp.take(frho_sp[:, 4], m)) * p
+                   + jnp.take(frho_sp[:, 5], m)) * p + jnp.take(frho_sp[:, 6], m)
+            return fp, jnp.sum(jnp.where(valid, emb, 0.0))
+        return fp, jnp.zeros((), dtype)
+
+    def wrapped_specs(n_coords):
+        return [
+            pl.BlockSpec((1, 1, nbx, LANE),
+                         functools.partial(
+                             lambda dz, dy, z, y:
+                             ((z + dz - 1) % nbz, (y + dy - 1) % nby, 0, 0),
+                             dz, dy),
+                         memory_space=pltpu.VMEM)
+            for _c in range(n_coords) for dz in (0, 1, 2) for dy in (0, 1, 2)
+        ]
+
+    xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    rho_call = pl.pallas_call(
+        rho_kernel,
+        grid=(nbz, nby),
+        in_specs=wrapped_specs(3) + [xi_spec] * 3,
+        out_specs=xi_spec,
+        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def build(evflag: bool):
+        fspec = pl.BlockSpec((3, 1, 1, nbx, C), lambda z, y: (0, z, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+        sspec = pl.BlockSpec((8, 128), lambda z, y: (0, 0),
+                             memory_space=pltpu.VMEM)
+        force_call = pl.pallas_call(
+            functools.partial(force_kernel, evflag=evflag),
+            grid=(nbz, nby),
+            in_specs=wrapped_specs(3) + wrapped_specs(1) + [xi_spec] * 4,
+            out_specs=(fspec, sspec, sspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+        def force(x, typ):
+            del typ
+            g = [x[c].reshape(nbz, nby, nbx, C) for c in range(3)]
+            J = [pack_candidates(g[c], c) for c in range(3)]
+            jargs = [J[c] for c in range(3) for _off in range(9)]
+
+            rho = rho_call(*jargs, *g)
+            valid = x[0] < 0.5 * _SENTINEL_BASE
+            fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+            # fp halo: the reference's mid-force communicate — a scalar
+            # field, so the pack needs no boundary coordinate fix
+            fpg = fp.reshape(nbz, nby, nbx, C)
+            FP = pack_candidates(fpg, -1)
+
+            f, eng, vir = force_call(*jargs, *([FP] * 9), *g, fpg)
             eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
             return f.reshape(3, M), eng_vdwl, jnp.sum(vir)
 

@@ -66,8 +66,12 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
 
         rank_row = jax.lax.broadcasted_iota(
             jnp.int32, (C, LANE), 0).astype(jnp.float32)
+        lane_row = jax.lax.broadcasted_iota(
+            jnp.int32, (C, LANE), 1).astype(jnp.float32)
+        d_io = jax.lax.broadcasted_iota(
+            jnp.int32, (nbx, LANE), 1).astype(jnp.float32)
         base = jnp.zeros((nbx, 1), jnp.float32)
-        outs = [jnp.zeros((nbx, C), jnp.float32) for _ in range(_NCH)]
+        outs = [jnp.zeros((nbx, LANE), jnp.float32) for _ in range(_NCH)]
         # Mosaic has no cumsum: the per-lane inclusive prefix sum is a dot
         # with an upper-triangular ones matrix (exact in f32 for these
         # small integer counts), which the MXU eats for free
@@ -85,18 +89,29 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
             # per-lane float rank; unselected lanes get -1 so a single
             # equality test builds the one-hot
             rank = jnp.where(sel, base + csum - 1.0, -1.0)
-            # one-hot contraction on the VPU: a batched MXU dot would be
-            # exact only at Precision.HIGHEST, and Mosaic lowers small
-            # batched matmuls poorly (~10x slower than these masked sums)
-            onehot = (rank[:, None, :] == rank_row[None, :, :]
-                      ).astype(jnp.float32)       # (nbx, C, LANE)
+            # source-lane index per destination slot: ONE one-hot
+            # contraction (instead of one per channel — the channel values
+            # then move by per-lane gathers over 128x fewer elements).
+            # A batched MXU dot is no alternative: exact only at
+            # Precision.HIGHEST and Mosaic lowers small batched matmuls
+            # ~10x slower than these masked sums (r2 negative result).
+            onehot = rank[:, None, :] == rank_row[None, :C, :]
+            srcl = jnp.sum(jnp.where(onehot, lane_row[None, :C, :], 0.0),
+                           axis=-1)               # (nbx, C)
+            # pad the dest axis to LANE: gather needs idx.shape == op.shape
+            srci = jnp.concatenate(
+                [srcl, jnp.zeros((nbx, LANE - C), jnp.float32)],
+                axis=1).astype(jnp.int32)         # (nbx, LANE)
+            count = jnp.sum(self_, axis=-1, keepdims=True)
+            filled = (d_io >= base) & (d_io < base + count)
             for c in range(_NCH):
                 v = val_refs[c * 9 + k][0, 0]     # (nbx, LANE)
-                outs[c] = outs[c] + jnp.sum(onehot * v[:, None, :], axis=-1)
-            base = base + jnp.sum(self_, axis=-1, keepdims=True)
+                g = jnp.take_along_axis(v, srci, axis=1)
+                outs[c] = jnp.where(filled, g, outs[c])
+            base = base + count
 
         for c in range(_NCH):
-            out_refs[c][0, 0] = outs[c]
+            out_refs[c][0, 0] = outs[c][:, :C]
         occ = (jax.lax.broadcasted_iota(jnp.int32, (nbx, C), 1)
                .astype(jnp.float32) < base)
         occ_ref[0, 0] = occ.astype(jnp.float32)

@@ -31,6 +31,14 @@ from ..units import ThermoScales
 _AXIS_OF_SPATIAL = {0: "z", 1: "y", 2: "x"}  # grid axis -> mesh axis name
 
 
+def _pvary(v):
+    """Mark a replicated value as device-varying over the mesh axes
+    (pcast on current jax; pvary was deprecated mid-round-3)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(v, ("z", "y", "x"), to="varying")
+    return jax.lax.pvary(v, ("z", "y", "x"))
+
+
 def _make_exchanges(mesh: Mesh, prd, dtype, h: int, nb_local):
     """Per-spatial-axis halo exchange hooks (only for decomposed axes).
 
@@ -256,8 +264,7 @@ def make_sharded_lj_run(
                 # noev accumulators are constant zeros; mark them
                 # device-varying so both cond branches type identically
                 ff, e, w = local_force(a, b, False)
-                return (ff, jax.lax.pvary(e, ("z", "y", "x")),
-                        jax.lax.pvary(w, ("z", "y", "x")))
+                return (ff, _pvary(e), _pvary(w))
 
             if nstat > 0:
                 ev = ((g + 1) % nstat == 0) | (n == ntimes - 1)
@@ -381,8 +388,7 @@ def make_sharded_eam_run(
                 (x, v, typ, valid, ovf))
             def _noev(a):
                 ff, e, w = force_noev(a, None)
-                return (ff, jax.lax.pvary(e, ("z", "y", "x")),
-                        jax.lax.pvary(w, ("z", "y", "x")))
+                return (ff, _pvary(e), _pvary(w))
 
             if nstat > 0:
                 ev = ((g + 1) % nstat == 0) | (n == ntimes - 1)

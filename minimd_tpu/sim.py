@@ -319,13 +319,13 @@ class Simulation:
                 return c, jnp.stack([t, u, p, jnp.zeros_like(t)])
 
             # local (one-hot pull) rebin needs distinct wrap neighbors;
-            # tiny grids fall back to the sort-based path. On TPU/f32 at
-            # large sizes the Pallas kernel builds the one-hot in VMEM
-            # (cells.rebin_local pays ~50 GB of HBM one-hot traffic at
-            # 864k: 54 -> 28 ms/call; bit-identical layout, tested). Below
-            # ~0.4M slots the XLA one-hot measures slightly faster.
+            # tiny grids fall back to the sort-based path. On TPU/f32 the
+            # Pallas kernel (srcl contraction + per-lane channel gathers)
+            # beats the XLA one-hot at every size since the r3 rework
+            # (131k: ~17.7 -> ~3 ms/call; 864k: ~54 -> ~6; bit-identical
+            # layout, tested).
             if (self.backend != "xla" and self.dtype == jnp.float32
-                    and min(geom.nb) >= 3 and geom.nslots >= 400_000
+                    and min(geom.nb) >= 3
                     and jax.default_backend() not in ("cpu",)):
                 from .ops.rebin_pallas import make_rebin_pallas
                 _rp = make_rebin_pallas(geom)

@@ -31,6 +31,7 @@ from minimd_tpu.sim import Simulation  # noqa: E402
 def check(style, size, steps, tol):
     inp = builtin_deck(style)
     inp.nx = inp.ny = inp.nz = size
+    inp.thermo_nstat = 1   # thermo on every step so rows are comparable
     ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:1],
                                         dtype=jnp.float32)
     sim = Simulation.from_input(inp, dtype=jnp.float32, nbins=ssim.geom.nb)

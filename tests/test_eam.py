@@ -205,3 +205,44 @@ def test_eam_gather_table_kernel_matches_exact():
     fn, en, vn = jax.jit(r_noev)(x32, typ)
     assert np.abs(np.asarray(fn)[:, valid] - fr_).max() == 0.0
     assert float(en) == 0.0 and float(vn) == 0.0
+
+
+def test_eam_fused_pallas_kernel_matches_exact():
+    """The fused single-device pallas EAM kernel (periodic wrap in index
+    maps, raw-grid packing) must match the exact f64 spline path to the
+    f32 table-precision class, interpret mode."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.sim import Simulation
+    from minimd_tpu.ops.eam import EAMTables, make_eam_force
+    from minimd_tpu.ops.eam_pallas import make_eam_force_pallas
+
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = 6
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim.run(5)
+    geom, typ = sim.geom, sim.state.typ
+    tables = EAMTables.from_funcfl()
+    x64 = sim.state.x
+    x32 = x64.astype(jnp.float32)
+
+    fe, ee, ve = jax.jit(make_eam_force(geom, tables, dtype=jnp.float64))(
+        x64, typ)
+    p_ev, p_noev = make_eam_force_pallas(geom, tables, dtype=jnp.float32,
+                                         interpret=True)
+    fp_, ep, vp = jax.jit(p_ev)(x32, typ)
+
+    valid = np.asarray(sim.state.valid)
+    fe_ = np.asarray(fe)[:, valid]
+    fp2 = np.asarray(fp_)[:, valid]
+    scale = np.abs(fe_).max()
+    assert np.abs(fp2 - fe_).max() / scale < 2e-4   # f32 input rounding
+    assert abs(float(ep) - float(ee)) / abs(float(ee)) < 1e-5
+    assert abs(float(vp) - float(ve)) / abs(float(ve)) < 1e-4
+
+    fn, en, vn = jax.jit(p_noev)(x32, typ)
+    assert np.abs(np.asarray(fn)[:, valid] - fp2).max() == 0.0
+    assert float(en) == 0.0 and float(vn) == 0.0
