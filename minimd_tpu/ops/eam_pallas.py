@@ -742,6 +742,12 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         interpret=interpret,
     )
 
+    # the XLA jnp.take embedding measured 4.3 ms/step at 131k (~8
+    # cycles/element TPU gathers) — the chunked dynamic_gather kernel is
+    # bit-identical and ~200x faster
+    embed_noev_p, embed_ev_p = make_embedding_pallas(
+        tables, M, interpret=interpret)
+
     def build(evflag: bool):
         fspec = pl.BlockSpec((3, 1, 1, nbx, C), lambda z, y: (0, z, y, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -770,7 +776,15 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
 
             rho = rho_call(*jargs, *g)
             valid = x[0] < 0.5 * _SENTINEL_BASE
-            fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+            if embed_noev_p is not None:
+                if evflag:
+                    fp, emb = embed_ev_p(rho.reshape(M), valid)
+                    embed_eng = jnp.sum(emb)
+                else:
+                    fp = embed_noev_p(rho.reshape(M))
+                    embed_eng = jnp.zeros((), dtype)
+            else:
+                fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
             # fp halo: the reference's mid-force communicate — a scalar
             # field, so the pack needs no boundary coordinate fix
             fpg = fp.reshape(nbz, nby, nbx, C)
@@ -783,3 +797,93 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         return force
 
     return build(True), build(False)
+
+
+def make_embedding_pallas(tables: EAMTables, M: int, interpret: bool = False):
+    """Pallas embedding evaluators: rho -> fp = F'(rho) (and the embedding
+    energy on evflag), bit-identical to the XLA spline-gather idiom
+    (force_eam.cpp:337-347 / the embedding() helpers here).
+
+    Why: XLA TPU gathers run at ~8 cycles/element — the three per-atom
+    `jnp.take`s of the noev embedding measured 4.3 ms/step at 131k, a
+    THIRD of the whole EAM step. Mosaic's per-lane dynamic_gather is fast
+    but limited to one vreg (<=128 entries) along the gather dim, so the
+    501-row frho table is gathered in four 128-entry chunks merged by a
+    `m >> 7` select chain. Identical rows, identical arithmetic order.
+
+    Returns (embed_noev, embed_ev): embed_noev(rho) -> fp;
+    embed_ev(rho, valid_f32) -> (fp, emb) with emb zeroed on invalid slots
+    (XLA sums it).
+    """
+    import numpy as _np
+
+    nrho = tables.nrho
+    rdrho = 1.0 / tables.drho
+    n_chunks = -(-(nrho + 1) // 128)
+    tab_np = _np.zeros((7, n_chunks * 128), _np.float32)
+    tab_np[:, : nrho + 1] = tables.frho_spline.T.astype(_np.float32)
+    tab = jnp.asarray(tab_np)
+
+    M2 = -(-M // 128) * 128          # pad to lane alignment (cheap concat)
+    R = M2 // 128
+
+    def lookup(tab_ref, c, m):
+        parts = []
+        for ch in range(n_chunks):
+            src = jnp.broadcast_to(
+                tab_ref[c, ch * 128:(ch + 1) * 128][None, :], (R, 128))
+            idx = jnp.clip(m - ch * 128, 0, 127)
+            parts.append(jnp.take_along_axis(src, idx, axis=1))
+        mdiv = m >> 7
+        out = parts[-1]
+        for ch in range(n_chunks - 2, -1, -1):
+            out = jnp.where(mdiv == ch, parts[ch], out)
+        return out
+
+    def kernel(rho_ref, tab_ref, *out_refs, evflag: bool):
+        rho = rho_ref[...]                       # (R, 128)
+        p = rho * rdrho + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
+        pf = jnp.minimum(p - m.astype(jnp.float32), 1.0)
+        c0 = lookup(tab_ref, 0, m)
+        c1 = lookup(tab_ref, 1, m)
+        c2 = lookup(tab_ref, 2, m)
+        out_refs[0][...] = (c0 * pf + c1) * pf + c2
+        if evflag:
+            c3 = lookup(tab_ref, 3, m)
+            c4 = lookup(tab_ref, 4, m)
+            c5 = lookup(tab_ref, 5, m)
+            c6 = lookup(tab_ref, 6, m)
+            out_refs[1][...] = ((c3 * pf + c4) * pf + c5) * pf + c6
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    noev_call = pl.pallas_call(
+        functools.partial(kernel, evflag=False),
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        in_specs=[vm, vm], out_specs=vm,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    ev_call = pl.pallas_call(
+        functools.partial(kernel, evflag=True),
+        out_shape=(jax.ShapeDtypeStruct((R, 128), jnp.float32),) * 2,
+        in_specs=[vm, vm], out_specs=(vm, vm),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def _pad(rho):
+        if M2 == M:
+            return rho.reshape(R, 128)
+        return jnp.concatenate(
+            [rho, jnp.zeros((M2 - M,), rho.dtype)]).reshape(R, 128)
+
+    def embed_noev(rho):
+        return noev_call(_pad(rho), tab).reshape(M2)[:M]
+
+    def embed_ev(rho, valid):
+        fp, emb = ev_call(_pad(rho), tab)
+        return (fp.reshape(M2)[:M],
+                jnp.where(valid, emb.reshape(M2)[:M], 0.0))
+
+    return embed_noev, embed_ev
