@@ -304,10 +304,12 @@ class ShardedSimulation:
         The production loop fuses halo exchange, force, and migration into
         one scan, so phases are attributed by measured replay: each
         reneigh interval runs the fused chunk (timed whole), then replays
-        the interval's halo exchanges (COMM) and one migration pass
-        (NEIGH) on the final state — identical computations on identical
-        shapes — and FORCE is the chunk minus the comm replay. Slightly
-        slower than run() (extra dispatches); physics identical."""
+        the interval's halo exchanges (COMM, batched into one dispatch +
+        one fetch so tunnel latency stays out of the split) and one
+        migration pass (NEIGH) on the final state — identical computations
+        on identical shapes — and FORCE is the chunk minus the comm
+        replay. Slightly slower than run() (extra dispatches); physics
+        identical."""
         import time as _time
 
         import jax
@@ -334,16 +336,33 @@ class ShardedSimulation:
             spec = P(None, "z", "y", "x", None)
             spec1 = P("z", "y", "x", None)
 
-            @jax.jit
-            @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec1),
-                     out_specs=P())
-            def comm_replay(xg, okg):
-                # the per-step halo fill (borders/communicate), replayed;
-                # consume the padded grids so nothing is elided
-                Xp = to_padded_soa(xg.reshape(3, -1), geom, h,
-                                   nb_local=nb_local, exchanges=exchanges)
-                acc = sum(jnp.sum(g) for g in Xp)
-                return jax.lax.psum(acc, ("z", "y", "x"))
+            @partial(jax.jit, static_argnums=(2,))
+            def comm_replay(xg, okg, n):
+                # the per-step halo fill (borders/communicate) replayed n
+                # times in ONE dispatch with ONE result fetch — a per-step
+                # fetch put the axon tunnel latency in the COMM bucket and
+                # systematically inflated the printed split (r2 weak #5).
+                # The carry perturbation (1 ulp-scale) makes each
+                # iteration data-dependent so XLA cannot hoist the
+                # loop-invariant halo fill out of the scan.
+                @partial(jax.shard_map, mesh=mesh, in_specs=(spec, spec1),
+                         out_specs=P())
+                def go(xg, okg):
+                    flat = xg.reshape(3, -1)
+
+                    def body(acc, _):
+                        Xp = to_padded_soa(flat + acc * 1e-30, geom,
+                                           h, nb_local=nb_local,
+                                           exchanges=exchanges)
+                        return acc + sum(jnp.sum(g) for g in Xp), None
+
+                    from .step import _pvary
+                    acc, _ = jax.lax.scan(
+                        body, _pvary(jnp.zeros((), flat.dtype)), None,
+                        length=n)
+                    return jax.lax.psum(acc, ("z", "y", "x"))
+
+                return go(xg, okg)
 
             @jax.jit
             @partial(jax.shard_map, mesh=mesh,
@@ -408,8 +427,7 @@ class ShardedSimulation:
 
             x, v, f, typ, valid = self.arrays
             t0 = _time.time()
-            for _ in range(chunk):
-                float(comm_replay(x, valid))   # fetch = sync (axon tunnel)
+            float(comm_replay(x, valid, chunk))   # fetch = sync
             t_comm = _time.time() - t0
             # run(chunk) numbers steps locally, so a migration fired inside
             # the chunk iff it was a full reneigh interval
