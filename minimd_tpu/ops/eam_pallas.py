@@ -217,6 +217,12 @@ def _make_eam_force_pallas_packed(geom: CellGeometry, tables: EAMTables,
     # the mesh (check_vma); device-local outputs vary over every axis
     _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
 
+    # embedding via the chunked dynamic_gather kernel (the XLA jnp.take
+    # gathers measured 4.3 ms/step at 131k — see make_embedding_pallas)
+    embed_noev_p, embed_ev_p = make_embedding_pallas(
+        tables, M, interpret=interpret,
+        vma=("z", "y", "x") if nb_local is not None else None)
+
     rho_call = pl.pallas_call(
         rho_kernel,
         grid=(nbz, nby),
@@ -257,7 +263,15 @@ def _make_eam_force_pallas_packed(geom: CellGeometry, tables: EAMTables,
 
             rho = rho_call(*jargs, *Xi)
             valid = x[0] < 0.5 * _SENTINEL_BASE
-            fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+            if embed_noev_p is not None:
+                if evflag:
+                    fp, emb = embed_ev_p(rho.reshape(M), valid)
+                    embed_eng = jnp.sum(emb)
+                else:
+                    fp = embed_noev_p(rho.reshape(M))
+                    embed_eng = jnp.zeros((), dtype)
+            else:
+                fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
             if fp_exchange is not None:
                 fp = fp_exchange(fp)
             # fp halo: the reference's mid-force communicate
@@ -799,7 +813,8 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
     return build(True), build(False)
 
 
-def make_embedding_pallas(tables: EAMTables, M: int, interpret: bool = False):
+def make_embedding_pallas(tables: EAMTables, M: int, interpret: bool = False,
+                          vma=None):
     """Pallas embedding evaluators: rho -> fp = F'(rho) (and the embedding
     energy on evflag), bit-identical to the XLA spline-gather idiom
     (force_eam.cpp:337-347 / the embedding() helpers here).
@@ -857,16 +872,17 @@ def make_embedding_pallas(tables: EAMTables, M: int, interpret: bool = False):
             out_refs[1][...] = ((c3 * pf + c4) * pf + c5) * pf + c6
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    _vma = {"vma": frozenset(vma)} if vma is not None else {}
     noev_call = pl.pallas_call(
         functools.partial(kernel, evflag=False),
-        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R, 128), jnp.float32, **_vma),
         in_specs=[vm, vm], out_specs=vm,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
     ev_call = pl.pallas_call(
         functools.partial(kernel, evflag=True),
-        out_shape=(jax.ShapeDtypeStruct((R, 128), jnp.float32),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((R, 128), jnp.float32, **_vma),) * 2,
         in_specs=[vm, vm], out_specs=(vm, vm),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -89,25 +89,40 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
             # per-lane float rank; unselected lanes get -1 so a single
             # equality test builds the one-hot
             rank = jnp.where(sel, base + csum - 1.0, -1.0)
-            # source-lane index per destination slot: ONE one-hot
-            # contraction (instead of one per channel — the channel values
-            # then move by per-lane gathers over 128x fewer elements).
-            # A batched MXU dot is no alternative: exact only at
-            # Precision.HIGHEST and Mosaic lowers small batched matmuls
-            # ~10x slower than these masked sums (r2 negative result).
-            onehot = rank[:, None, :] == rank_row[None, :C, :]
-            srcl = jnp.sum(jnp.where(onehot, lane_row[None, :C, :], 0.0),
-                           axis=-1)               # (nbx, C)
-            # pad the dest axis to LANE: gather needs idx.shape == op.shape
-            srci = jnp.concatenate(
-                [srcl, jnp.zeros((nbx, LANE - C), jnp.float32)],
-                axis=1).astype(jnp.int32)         # (nbx, LANE)
             count = jnp.sum(self_, axis=-1, keepdims=True)
-            filled = (d_io >= base) & (d_io < base + count)
-            for c in range(_NCH):
-                v = val_refs[c * 9 + k][0, 0]     # (nbx, LANE)
-                g = jnp.take_along_axis(v, srci, axis=1)
-                outs[c] = jnp.where(filled, g, outs[c])
+            if LANE <= 128:
+                # source-lane index per destination slot: ONE one-hot
+                # contraction (instead of one per channel — the channel
+                # values then move by per-lane gathers over 128x fewer
+                # elements). A batched MXU dot is no alternative: exact
+                # only at Precision.HIGHEST and Mosaic lowers small
+                # batched matmuls ~10x slower than masked sums (r2
+                # negative result).
+                onehot = rank[:, None, :] == rank_row[None, :C, :]
+                srcl = jnp.sum(
+                    jnp.where(onehot, lane_row[None, :C, :], 0.0),
+                    axis=-1)                      # (nbx, C)
+                # pad the dest axis to LANE: gather needs matching shapes
+                srci = jnp.concatenate(
+                    [srcl, jnp.zeros((nbx, LANE - C), jnp.float32)],
+                    axis=1).astype(jnp.int32)     # (nbx, LANE)
+                filled = (d_io >= base) & (d_io < base + count)
+                for c in range(_NCH):
+                    v = val_refs[c * 9 + k][0, 0]  # (nbx, LANE)
+                    g = jnp.take_along_axis(v, srci, axis=1)
+                    outs[c] = jnp.where(filled, g, outs[c])
+            else:
+                # Mosaic dynamic_gather needs the gather dim in one vreg
+                # (<= 128 lanes); wide-LANE grids (3C > 128, small decks
+                # with big cells) keep the one-hot channel contraction
+                onehot_f = (rank[:, None, :] == rank_row[None, :C, :]
+                            ).astype(jnp.float32)  # (nbx, C, LANE)
+                for c in range(_NCH):
+                    v = val_refs[c * 9 + k][0, 0]
+                    add = jnp.sum(onehot_f * v[:, None, :], axis=-1)
+                    outs[c] = outs[c] + jnp.concatenate(
+                        [add, jnp.zeros((nbx, LANE - C), jnp.float32)],
+                        axis=1)
             base = base + count
 
         for c in range(_NCH):

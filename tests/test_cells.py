@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from minimd_tpu import cells, create
 from minimd_tpu.config import builtin_deck
@@ -69,10 +70,13 @@ def test_grid_offset_declares_clearance():
     assert clear > 1e-3 * bs.min()
 
 
-def test_rebin_pallas_matches_rebin_local():
+@pytest.mark.parametrize("nbins", [None, (6, 6, 6)])
+def test_rebin_pallas_matches_rebin_local(nbins):
     """The Pallas rebin kernel (interpret mode on CPU) must reproduce
     cells.rebin_local bit-for-bit: same candidate ordering, same one-hot
-    pull, same sentinel restoration."""
+    pull, same sentinel restoration. The default grid has C=48 (LANE=256,
+    the one-hot contraction branch); the (6,6,6) grid has C=24 (LANE=128,
+    the srcl+gather branch)."""
     import jax
 
     from minimd_tpu import create
@@ -84,7 +88,7 @@ def test_rebin_pallas_matches_rebin_local():
     n = 8
     box = create.create_box(n, n, n, inp.rho)
     x, v = create.create_atoms(n, n, n, inp.rho, box)
-    geom = cells.build_geometry(box.prd, inp.neigh_cut, x)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=nbins)
     st = init_state(x, v, np.zeros(len(x), np.int32), geom,
                     dtype=jnp.float32)
     rng = np.random.default_rng(7)
