@@ -114,6 +114,15 @@ def autotune_grid(prd, cutneigh: float, positions: np.ndarray,
     base = np.maximum(1, np.floor(prd / cutneigh).astype(int))
     best, best_cost = None, np.inf
     tried = set()
+    # NOTE (measured negative): a dense sweep hitting EVERY integer grid
+    # found nb=32 at 864k (vs 33 here) with 9% lower model cost at C=40 —
+    # but the capacity-fluctuation tail is real: the liquid overflowed
+    # C=40 within ~500 steps, grow-and-retry went to C=50, LANE jumped
+    # 128 -> 256 and throughput HALVED (24.3 vs 48.2 Matom-steps/s).
+    # Grids whose expected occupancy need sits within ~1 atom of the
+    # 128-lane capacity boundary are traps the cost model cannot see
+    # (the t=0 crystal counts underestimate liquid transients), so the
+    # coarse sweep's skipping of marginal intermediate grids is kept.
     for frac in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6):
         nb = tuple(int(max(1, np.floor(b * frac))) for b in base)
         if nb in tried:

@@ -80,6 +80,14 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     loads triple the vreg traffic and tpu.concatenate at unaligned lane
     offsets costs more than the HBM pass it saves. Negative result kept
     here so it isn't re-walked.
+
+    Second negative: deferring the cross-lane reductions (accumulate
+    fc*d in (nbx, C, LANE) lane space across the 9 stencil rows, reduce
+    ONCE per coordinate at the end — 27 -> 3 reductions/program) measured
+    41.0 vs 58.7 Matom-steps/s at 131k. The three loop-carried full-width
+    accumulators become VMEM spill traffic every row, while Mosaic's
+    per-row lane reduction costs about one op per element — cheaper than
+    the full-width add that replaces it. Keep the per-row `jnp.sum`s.
     """
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"

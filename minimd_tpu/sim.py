@@ -42,6 +42,11 @@ class Simulation:
     # jit caches: re-wrapping jax.jit per call would retrace and hit the
     # (slow, remote on axon) compile cache every run()
     _jit_cache: dict = dataclasses.field(default_factory=dict)
+    # user-pinned geometry (None = autotuned; overflow recovery may then
+    # re-grid from live occupancy, see _regrow) + regrow counter
+    _user_nbins: object = None
+    _user_capacity: object = None
+    _regrows: int = 0
 
     # ------------------------------------------------------------------
     # construction
@@ -161,7 +166,8 @@ class Simulation:
             inp=inp, geom=geom, state=state, scales=scales,
             force_fn=force_ev, force_fn_noev=force_noev, natoms=natoms,
             mass=mass, dtforce=dtforce, dtype=dtype, backend=backend,
-            _make_force=make_force,
+            _make_force=make_force, _user_nbins=nbins,
+            _user_capacity=capacity,
         )
         sim._compute_initial_force()
         return sim
@@ -387,9 +393,10 @@ class Simulation:
             # each retry recompiles the fused scan (minutes on the remote
             # TPU toolchain), so grow geometrically rather than +8 per try
             newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
-            print(f"# resize: cell capacity {self.geom.capacity} -> "
-                  f"{newcap} (rebin overflow), replaying interval")
-            self._regrow(s_before, newcap)
+            old_nb, old_cap = self.geom.nb, self.geom.capacity
+            self._regrow(s_before, newcap, retune=True)
+            print(f"# resize: grid {old_nb} C={old_cap} -> {self.geom.nb} "
+                  f"C={self.geom.capacity} (rebin overflow), replaying")
             return self.run(ntimes)
         # final force with evflag on, like ljs.cpp:477-483, so thermo state
         # after a run is always consistent regardless of the nstat cadence
@@ -398,19 +405,39 @@ class Simulation:
         self.eng_vdwl, self.virial = eng, vir
         return trace
 
-    def _regrow(self, s: MDState, capacity: int):
-        """Re-lay the state out in a geometry with larger cell capacity
-        (same grid); forces are recomputed from positions, so physics is
-        unchanged up to summation order."""
+    def _regrow(self, s: MDState, capacity: int, retune: bool = False):
+        """Re-lay the state out in a geometry with larger cell capacity;
+        forces are recomputed from positions, so physics is unchanged up
+        to summation order.
+
+        retune=True (the overflow-recovery paths): if the run was
+        autotuned (no explicit nbins/capacity), re-run the grid autotuner
+        on the LIVE positions instead of bumping C on the same grid —
+        crossing the 128-lane packed-candidate boundary (3C > 128) halves
+        the Pallas kernel throughput (measured: an 864k overflow bumped
+        C 40 -> 50 and ran at 24.3 vs 48.2 Matom-steps/s), while the
+        occupancy counts of the overflowing liquid usually steer the
+        autotuner to a finer grid that keeps C on the boundary."""
         valid = np.asarray(s.valid)
         prd = np.asarray(self.geom.prd)
         xs = np.mod(np.asarray(s.x).T[valid], prd)  # fold unfolded coords
         vs = np.asarray(s.v).T[valid]
         ts = np.asarray(s.typ)[valid]
         solid = self.inp.forcetype == FORCE_EAM and self.inp.datafile is None
-        self.geom = cells.build_geometry(prd, self.inp.neigh_cut, xs,
-                                         nbins=self.geom.nb,
-                                         capacity=capacity, solid=solid)
+        geom = None
+        if (retune and self._user_nbins is None
+                and self._user_capacity is None and self._regrows < 3):
+            geom = cells.build_geometry(prd, self.inp.neigh_cut, xs,
+                                        solid=solid)
+            if (geom.nb == self.geom.nb
+                    and geom.capacity <= self.geom.capacity):
+                geom = None   # autotune reproduced the overflowing layout
+        if geom is None:
+            geom = cells.build_geometry(prd, self.inp.neigh_cut, xs,
+                                        nbins=self.geom.nb,
+                                        capacity=capacity, solid=solid)
+        self._regrows += 1
+        self.geom = geom
         self.force_fn, self.force_fn_noev = self._make_force(self.geom)
         self._jit_cache.clear()
         self.state = init_state(xs, vs, ts, self.geom, dtype=self.dtype)
@@ -516,9 +543,11 @@ class Simulation:
                             f"(capacity {self.geom.capacity}); rebuild with "
                             "a larger --capacity")
                     newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
-                    print(f"# resize: cell capacity {self.geom.capacity} -> "
-                          f"{newcap} (rebin overflow), re-laying out")
-                    self._regrow(s_pre, newcap)
+                    old_nb, old_cap = self.geom.nb, self.geom.capacity
+                    self._regrow(s_pre, newcap, retune=True)
+                    print(f"# resize: grid {old_nb} C={old_cap} -> "
+                          f"{self.geom.nb} C={self.geom.capacity} "
+                          f"(rebin overflow), re-laying out")
                     s = self.state
                     scan_steps, drift, rebin_jit, force_kick = timed_fns()
                 if check_exchange:

@@ -96,6 +96,35 @@ def test_capacity_regrow_preserves_physics():
     assert int(b.state.overflow) == 0
 
 
+def test_capacity_regrow_retune_recovers_all_atoms():
+    """Overflow recovery with retune=True re-autotunes the grid from the
+    live occupancy (bumping C across the 128-lane packed-candidate
+    boundary halves the Pallas kernel throughput); when the autotuner
+    reproduces the overflowing layout it falls back to the capacity
+    bump. Either way no atom is lost and the run continues."""
+    import numpy as np
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim.run(10)
+    cap0, nb0 = sim.geom.capacity, sim.geom.nb
+    sim._regrow(sim.state, cap0 + 8, retune=True)
+    # retune either re-grids or (same layout) applies the bump
+    assert sim.geom.nb != nb0 or sim.geom.capacity >= cap0 + 8
+    assert int(np.asarray(sim.state.valid).sum()) == sim.natoms
+    tr = sim.run(10)
+    assert np.isfinite(tr).all()
+    assert int(sim.state.overflow) == 0
+
+    # user-pinned geometry is never re-gridded
+    simp = Simulation.from_input(inp, dtype=jnp.float64, backend="xla",
+                                 nbins=nb0, capacity=cap0)
+    simp.run(5)
+    simp._regrow(simp.state, cap0 + 8, retune=True)
+    assert simp.geom.nb == nb0 and simp.geom.capacity == cap0 + 8
+
+
 def test_half_neighbor_matches_full():
     """--half_neigh 1 parity path (ref force_lj.cpp:185-263): each pair
     evaluated once with Newton halo-fold accumulation must reproduce the
