@@ -356,6 +356,66 @@ def rebin(x, v, typ, valid, geom: CellGeometry):
     return new_x, new_v, new_t, new_valid, overflow
 
 
+def rebin_pull(cid, chans, geom: CellGeometry, nb_local=None,
+               pad_exchanges=None):
+    """One-hot pull placement core (rebin_local's inner loop, shared with
+    the sharded migration's local placement, parallel/comm.py).
+
+    cid: (M,) int32 per-slot cell id in this grid's row-major numbering
+    (-1 marks empty/leaver slots); chans: list of (M,) float channels to
+    relocate. The pull window is the ±1-cell neighborhood: periodic
+    self-wrap by default, or per-axis `pad_exchanges` hooks (the sharded
+    caller pads decomposed axes with DEAD cells — cross-device movers
+    travel as migration buffers, never through the pull, and self-wrap
+    would alias cells on spans < 3).
+
+    Returns (outs, counts, cap_overflow): outs is one (ncells, C) array
+    per channel in (stencil-offset, slot) lexicographic within-cell
+    order, counts the per-cell occupancies, cap_overflow the number of
+    atoms that did not fit their cell.
+    """
+    from .ops.pairgrid import pad_grid_int, stencil_slice
+
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
+    nb = (nbx, nby, nbz)
+    C = geom.capacity
+    ncells = nbx * nby * nbz
+    dtype = chans[0].dtype
+
+    cid_pad = pad_grid_int(cid, geom, 1, nb_local=nb,
+                           exchanges=pad_exchanges)
+    chan_pad = [pad_grid_int(c, geom, 1, nb_local=nb,
+                             exchanges=pad_exchanges) for c in chans]
+
+    cell_ids = jnp.arange(ncells, dtype=jnp.int32).reshape(nbz, nby, nbx)
+    offsets = [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
+               for dx in (-1, 0, 1)]
+
+    out = [jnp.full((ncells, C), 0.0, dtype) for _ in chans]
+    base = jnp.zeros((ncells, 1), jnp.int32)
+    rank_row = jnp.arange(C, dtype=jnp.int32)
+
+    for off in offsets:
+        cand_cid = stencil_slice(cid_pad, off, 1, nb).reshape(ncells, C)
+        sel = cand_cid == cell_ids.reshape(ncells, 1)
+        rank = base + jnp.cumsum(sel, axis=-1, dtype=jnp.int32) - 1
+        onehot = (sel[:, None, :]
+                  & (rank[:, None, :] == rank_row[None, :, None])).astype(dtype)
+        for i, cp in enumerate(chan_pad):
+            vals = stencil_slice(cp, off, 1, nb).reshape(ncells, C)
+            out[i] = out[i] + jax.lax.dot_general(
+                onehot, vals,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
+        base = base + jnp.sum(sel, axis=-1, dtype=jnp.int32)[:, None]
+
+    counts = base[:, 0]
+    cap_ovf = jnp.sum(jnp.maximum(counts - C, 0)).astype(jnp.int32)
+    return out, counts, cap_ovf
+
+
 def rebin_local(x, v, typ, geom: CellGeometry):
     """Locality-aware rebin: pull each cell's new occupants from its 27-cell
     neighborhood with exact one-hot contractions — no global sort, no
@@ -371,14 +431,10 @@ def rebin_local(x, v, typ, geom: CellGeometry):
     order is (stencil-offset, slot) lexicographic — a different (equally
     valid) order than the global sort produces.
     """
-    from .ops.pairgrid import pad_grid_int, stencil_slice
-
     nbx, nby, nbz = geom.nb
     C = geom.capacity
-    ncells = geom.ncells
     M = geom.nslots
     dtype = x.dtype
-    nb = (nbx, nby, nbz)
 
     valid = x[0] < 0.5 * _SENTINEL_BASE
     xw = pbc_wrap(x, geom.prd)
@@ -402,38 +458,11 @@ def rebin_local(x, v, typ, geom: CellGeometry):
     chans = [xs[0], xs[1], xs[2], v[0], v[1], v[2],
              typ.astype(dtype)]
 
-    # padded (wrapped-index, unshifted-value) grids
-    cid_pad = pad_grid_int(cid, geom, 1)
-    chan_pad = [pad_grid_int(c, geom, 1) for c in chans]
+    out, counts, cap_ovf = rebin_pull(cid, chans, geom)
+    overflow = overflow + cap_ovf
 
-    cell_ids = jnp.arange(ncells, dtype=jnp.int32).reshape(nbz, nby, nbx)
-    offsets = [(dx, dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)
-               for dx in (-1, 0, 1)]
-
-    out = [jnp.full((ncells, C), 0.0, dtype) for _ in chans]
-    # sentinel placement for unoccupied slots is restored at the end
-    base = jnp.zeros((ncells, 1), jnp.int32)
     rank_row = jnp.arange(C, dtype=jnp.int32)
-
-    for off in offsets:
-        cand_cid = stencil_slice(cid_pad, off, 1, nb).reshape(ncells, C)
-        sel = cand_cid == cell_ids.reshape(ncells, 1)
-        rank = base + jnp.cumsum(sel, axis=-1, dtype=jnp.int32) - 1
-        onehot = (sel[:, None, :]
-                  & (rank[:, None, :] == rank_row[None, :, None])).astype(dtype)
-        for i, cp in enumerate(chan_pad):
-            vals = stencil_slice(cp, off, 1, nb).reshape(ncells, C)
-            out[i] = out[i] + jax.lax.dot_general(
-                onehot, vals,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=dtype,
-            )
-        base = base + jnp.sum(sel, axis=-1, dtype=jnp.int32)[:, None]
-
-    counts = base[:, 0]
-    overflow = overflow + jnp.sum(jnp.maximum(counts - C, 0)).astype(jnp.int32)
-
+    # sentinel placement for unoccupied slots is restored here
     occ = (rank_row[None, :] < counts[:, None]).reshape(M)
     sent = sentinel_positions(M, dtype)
     new_x = jnp.stack([jnp.where(occ, out[d].reshape(M), sent[d])

@@ -40,15 +40,24 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
-def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
-                      interpret: bool = False):
-    """Returns fn(x, v, typ) -> (x, v, typ, overflow), drop-in for
-    cells.rebin_local (f32, TPU)."""
-    assert dtype == jnp.float32, "pallas rebin kernel is f32"
-    nbx, nby, nbz = geom.nb
-    assert min(geom.nb) >= 3, "local rebin needs distinct wrap neighbors"
+def make_rebin_pull_pallas(geom: CellGeometry, nb_local=None,
+                           interpret: bool = False, pad_exchanges=None,
+                           vma=None):
+    """One-hot pull placement core as a Pallas kernel (the counterpart of
+    cells.rebin_pull, same within-cell ordering — bit-identical, tested).
+
+    Returns pull(cid, chans) -> (outs, counts, cap_overflow): cid is the
+    (M,) int32 per-slot cell id in THIS grid's row-major numbering (-1 =
+    empty/leaver), chans exactly 7 float32 channels; outs are (ncells, C)
+    arrays, counts (ncells,) int32. nb_local + pad_exchanges serve the
+    sharded migration (parallel/comm.py): decomposed axes pad with DEAD
+    cells instead of periodic self-wrap (cross-device movers travel as
+    migration buffers, and self-wrap would alias cells on spans < 3).
+    vma: mesh axis names to declare on the pallas outputs (shard_map
+    check_vma typing, same mechanism as ops/eam_pallas)."""
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
-    M = geom.nslots
+    M = nbx * nby * nbz * C
     Yp = nby + 2
     LANE = _round_up(3 * C, 128)
 
@@ -159,20 +168,56 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
     s_spec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
                           memory_space=pltpu.VMEM)
 
+    _vma = {"vma": frozenset(vma)} if vma is not None else {}
     call = pl.pallas_call(
         kernel,
         grid=(nbz, nby),
         in_specs=view_specs(1) + view_specs(_NCH),
         out_specs=(*(row_spec,) * _NCH, row_spec, s_spec),
         out_shape=(
-            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),)
+            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
+                                   **_vma),)
             * (_NCH + 1),
-            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32, **_vma),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
+
+    nb = (nbx, nby, nbz)
+
+    def pull(cid, chans):
+        assert len(chans) == _NCH
+        cid_pack = pack_lanes(
+            pad_grid_int(cid, geom, 1, nb_local=nb,
+                         exchanges=pad_exchanges), -1)
+        packs = [pack_lanes(pad_grid_int(c, geom, 1, nb_local=nb,
+                                         exchanges=pad_exchanges), 0.0)
+                 for c in chans]
+        args = ([cid_pack] * 9
+                + [p for p in packs for _off in range(9)])
+
+        *outs, occg, ovf = call(*args)
+        ncl = nbx * nby * nbz
+        occ = occg.reshape(ncl, C)
+        counts = jnp.sum(occ, axis=-1).astype(jnp.int32)
+        outs = [o.reshape(ncl, C) for o in outs]
+        return outs, counts, jnp.sum(ovf).astype(jnp.int32)
+
+    return pull
+
+
+def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
+                      interpret: bool = False):
+    """Returns fn(x, v, typ) -> (x, v, typ, overflow), drop-in for
+    cells.rebin_local (f32, TPU)."""
+    assert dtype == jnp.float32, "pallas rebin kernel is f32"
+    nbx, nby, nbz = geom.nb
+    assert min(geom.nb) >= 3, "local rebin needs distinct wrap neighbors"
+    C = geom.capacity
+    M = geom.nslots
+    pull = make_rebin_pull_pallas(geom, interpret=interpret)
 
     def rebin(x, v, typ):
         valid = x[0] < 0.5 * _SENTINEL_BASE
@@ -193,22 +238,19 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
         ok = near(ox_, nx_, nbx) & near(oy_, ny_, nby) & near(oz_, nz_, nbz)
         overflow = jnp.sum(valid & ~ok).astype(jnp.int32)
 
-        cid_pack = pack_lanes(pad_grid_int(cid, geom, 1), -1)
         chans = [xs[0], xs[1], xs[2], v[0], v[1], v[2],
                  typ.astype(jnp.float32)]
-        packs = [pack_lanes(pad_grid_int(c, geom, 1), 0.0) for c in chans]
-        args = ([cid_pack] * 9
-                + [p for p in packs for _off in range(9)])
+        outs, counts, cap_ovf = pull(cid, chans)
 
-        *outs, occg, ovf = call(*args)
-        occ = occg.reshape(M) > 0.5
+        occ = (jnp.arange(C, dtype=jnp.int32)[None, :]
+               < counts[:, None]).reshape(M)
         sent = sentinel_positions(M, dtype)
         new_x = jnp.stack([jnp.where(occ, outs[d].reshape(M), sent[d])
                            for d in range(3)], axis=0)
         new_v = jnp.stack([jnp.where(occ, outs[3 + d].reshape(M), 0.0)
                            for d in range(3)], axis=0)
         new_t = jnp.where(occ, outs[6].reshape(M).astype(jnp.int32), 0)
-        overflow = overflow + jnp.sum(ovf).astype(jnp.int32)
+        overflow = overflow + cap_ovf
         return new_x, new_v, new_t, overflow
 
     return rebin

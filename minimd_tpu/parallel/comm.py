@@ -74,6 +74,56 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
 
     nb_all = {"x": nbx, "y": nby, "z": nbz}
     dim_of = {"x": 0, "y": 1, "z": 2}
+    ncl = lx * ly * lz
+
+    # Final-placement strategy. The axis passes never compact the pool:
+    # its first M_local entries stay slot-structured (leavers are only
+    # masked off) and arrivals ride appended buffers. So the default
+    # placement is the production one-hot PULL (cells.rebin_pull /
+    # ops.rebin_pallas — no sort, no big scatter: the sort-based placement
+    # measured ~40 ms per reneigh at 131k on TPU, dominating the sharded
+    # step) plus an exact small-scatter insertion of the arrivals.
+    # The pull covers ±1-cell movement (the skin guarantee); residents who
+    # moved farther are counted as MOVEMENT overflow — stricter than the
+    # sort, which placed them silently (the reference's default exchange
+    # would silently LOSE them, comm.cpp:364-597). --safe_exchange
+    # (hops > 1) keeps the sort-based placement, which handles arbitrary
+    # displacement (the exchange_all contract, comm.cpp:599-689).
+    # Undecomposed axes with span < 3 cannot self-wrap distinctly either
+    # -> sort fallback.
+    spans_ok = all(mesh.shape[n] > 1 or span[n] >= 3 for n in _AXES)
+    use_pull = hops == 1 and spans_ok
+    on_cpu = jax.default_backend() == "cpu"
+    pallas_pull = use_pull and not on_cpu and dtype == jnp.float32
+
+    # decomposed axes pad the pull window with DEAD cells: cross-device
+    # movers travel as migration buffers, never through the pull, and
+    # periodic self-wrap would alias cells on small spans. Keys are grid
+    # ARRAY axes (0=z, 1=y, 2=x), the pad_grid_int convention.
+    def _make_dead_pad(axis):
+        def dead(g, coord_dim):
+            shp = list(g.shape)
+            shp[axis] = 1
+            fill = -1 if jnp.issubdtype(g.dtype, jnp.integer) else 0.0
+            z = jnp.full(tuple(shp), fill, g.dtype)
+            return z, z
+        return dead
+
+    _ax_of = {"z": 0, "y": 1, "x": 2}
+    pad_ex = {_ax_of[n]: _make_dead_pad(_ax_of[n])
+              for n in _AXES if mesh.shape[n] > 1} or None
+
+    if pallas_pull:
+        from ..ops.rebin_pallas import make_rebin_pull_pallas
+        pull = make_rebin_pull_pallas(geom, nb_local=(lx, ly, lz),
+                                      pad_exchanges=pad_ex,
+                                      vma=("z", "y", "x"))
+    elif use_pull:
+        from ..cells import rebin_pull as _rebin_pull
+
+        def pull(cid, chans):
+            return _rebin_pull(cid, chans, geom, nb_local=(lx, ly, lz),
+                               pad_exchanges=pad_ex)
 
     def global_cell_index(xw, d):
         """Global cell coordinate along dimension d for wrapped (3, M)
@@ -144,7 +194,7 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
                 pool_t = jnp.concatenate([pool_t, rlo[2], rhi[2]])
                 pool_ok = jnp.concatenate([stay, rlo[3], rhi[3]])
 
-        # local rebin: global cell -> local cell id within my block
+        # local cell coords for the whole pool: global cell -> local
         cg = [global_cell_index(pool_x, d) for d in range(3)]
         devs = {name: jax.lax.axis_index(name) for name in _AXES if mesh.shape[name] > 1}
         loc = []
@@ -158,32 +208,99 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
             & (loc[1] >= 0) & (loc[1] < ly)
             & (loc[2] >= 0) & (loc[2] < lz)
         )
-        ovf_move = ovf_move + jnp.sum(pool_ok & ~inside).astype(jnp.int32)
-        cid = (loc[2] * ly + loc[1]) * lx + loc[0]
-        ncl = lx * ly * lz
-        cid = jnp.where(pool_ok & inside, cid, ncl)
-
-        order = jnp.argsort(cid, stable=True)
-        sort_cid = cid[order]
-        starts = jnp.searchsorted(sort_cid, jnp.arange(ncl + 1, dtype=jnp.int32))
-        rank = jnp.arange(len(cid), dtype=jnp.int32) - starts[jnp.clip(sort_cid, 0, ncl)]
-        ok = (sort_cid < ncl) & (rank < C)
-        dest = jnp.where(ok, sort_cid * C + rank, M_local)
-        ovf_cap = ovf_cap + jnp.sum((sort_cid < ncl) & (rank >= C)).astype(jnp.int32)
+        cid_all = (loc[2] * ly + loc[1]) * lx + loc[0]
 
         # storage ("unfolded") coordinates relative to the grid offset
         off = jnp.asarray(offset, dtype=pool_x.dtype)[:, None]
         g = pool_x - off
         xs = jnp.where(g < 0, pool_x + p, pool_x)
 
-        new_x = sentinel_positions(M_local, pool_x.dtype).at[:, dest].set(
-            xs[:, order], mode="drop")
-        new_v = jnp.zeros((3, M_local), pool_v.dtype).at[:, dest].set(
-            pool_v[:, order], mode="drop")
-        new_t = jnp.zeros((M_local,), jnp.int32).at[dest].set(
-            pool_t[order], mode="drop")
-        new_ok = jnp.zeros((M_local,), bool).at[dest].set(
-            pool_ok[order], mode="drop")
+        if not use_pull:
+            # sort-based placement: handles arbitrary displacement (the
+            # --safe_exchange / tiny-grid fallback)
+            ovf_move = ovf_move + jnp.sum(pool_ok & ~inside).astype(jnp.int32)
+            cid = jnp.where(pool_ok & inside, cid_all, ncl)
+
+            order = jnp.argsort(cid, stable=True)
+            sort_cid = cid[order]
+            starts = jnp.searchsorted(sort_cid,
+                                      jnp.arange(ncl + 1, dtype=jnp.int32))
+            rank = (jnp.arange(len(cid), dtype=jnp.int32)
+                    - starts[jnp.clip(sort_cid, 0, ncl)])
+            ok = (sort_cid < ncl) & (rank < C)
+            dest = jnp.where(ok, sort_cid * C + rank, M_local)
+            ovf_cap = ovf_cap + jnp.sum(
+                (sort_cid < ncl) & (rank >= C)).astype(jnp.int32)
+
+            new_x = sentinel_positions(M_local, pool_x.dtype).at[:, dest].set(
+                xs[:, order], mode="drop")
+            new_v = jnp.zeros((3, M_local), pool_v.dtype).at[:, dest].set(
+                pool_v[:, order], mode="drop")
+            new_t = jnp.zeros((M_local,), jnp.int32).at[dest].set(
+                pool_t[order], mode="drop")
+            new_ok = jnp.zeros((M_local,), bool).at[dest].set(
+                pool_ok[order], mode="drop")
+            return new_x, new_v, new_t, new_ok, jnp.stack([ovf_move, ovf_cap])
+
+        # ---- pull placement (the production path) ----
+        # residents: the first M_local pool entries are still
+        # slot-structured; movement guard = within ±1 of the slot's cell
+        # (wrap only on undecomposed axes, where local == global periodic)
+        res_ok = pool_ok[:M_local]
+        slot = jnp.arange(M_local, dtype=jnp.int32) // C
+        sxyz = (slot % lx, (slot // lx) % ly, slot // (lx * ly))
+        near = jnp.ones((M_local,), bool)
+        for i, (name, L) in enumerate((("x", lx), ("y", ly), ("z", lz))):
+            dlt = jnp.abs(loc[i][:M_local] - sxyz[i])
+            if mesh.shape[name] == 1:
+                dlt = jnp.minimum(dlt, L - dlt)
+            near = near & (dlt <= 1)
+        ovf_move = ovf_move + jnp.sum(res_ok & ~near).astype(jnp.int32)
+
+        cid_res = jnp.where(res_ok, cid_all[:M_local], jnp.int32(-1))
+        chans = [xs[0, :M_local], xs[1, :M_local], xs[2, :M_local],
+                 pool_v[0, :M_local], pool_v[1, :M_local],
+                 pool_v[2, :M_local], pool_t[:M_local].astype(pool_x.dtype)]
+        outs, counts, cap = pull(cid_res, chans)
+        ovf_cap = ovf_cap + cap
+
+        occ = (jnp.arange(C, dtype=jnp.int32)[None, :]
+               < counts[:, None]).reshape(M_local)
+        sent = sentinel_positions(M_local, pool_x.dtype)
+        new_x = jnp.stack([jnp.where(occ, outs[d].reshape(M_local), sent[d])
+                           for d in range(3)], axis=0)
+        new_v = jnp.stack([jnp.where(occ, outs[3 + d].reshape(M_local), 0.0)
+                           for d in range(3)], axis=0)
+        new_t = jnp.where(occ, outs[6].reshape(M_local).astype(jnp.int32), 0)
+        new_ok = occ
+
+        A = pool_x.shape[1] - M_local
+        if A > 0:
+            # arrivals: exact insertion after each cell's pulled residents
+            # (any within-cell order is physical; the reference appends
+            # arrivals too, comm.cpp:552-575)
+            a_live = pool_ok[M_local:]
+            a_in = inside[M_local:]
+            ovf_move = ovf_move + jnp.sum(a_live & ~a_in).astype(jnp.int32)
+            acid = jnp.where(a_live & a_in, cid_all[M_local:], ncl)
+            order = jnp.argsort(acid, stable=True)
+            scid = acid[order]
+            starts = jnp.searchsorted(scid,
+                                      jnp.arange(ncl + 1, dtype=jnp.int32))
+            arank = (jnp.arange(A, dtype=jnp.int32)
+                     - starts[jnp.clip(scid, 0, ncl)])
+            slotr = counts[jnp.clip(scid, 0, ncl - 1)] + arank
+            placed = (scid < ncl) & (slotr < C)
+            ovf_cap = ovf_cap + jnp.sum(
+                (scid < ncl) & (slotr >= C)).astype(jnp.int32)
+            dest = jnp.where(placed, scid * C + slotr, M_local)
+
+            new_x = new_x.at[:, dest].set(xs[:, M_local:][:, order],
+                                          mode="drop")
+            new_v = new_v.at[:, dest].set(pool_v[:, M_local:][:, order],
+                                          mode="drop")
+            new_t = new_t.at[dest].set(pool_t[M_local:][order], mode="drop")
+            new_ok = new_ok.at[dest].set(placed, mode="drop")
         return new_x, new_v, new_t, new_ok, jnp.stack([ovf_move, ovf_cap])
 
     return exchange_rebin

@@ -29,12 +29,20 @@ def main():
     ap.add_argument("--style", choices=["lj", "eam"], default="lj")
     ap.add_argument("--n", type=int, default=60)
     ap.add_argument("--steps", type=int, default=40)
+    ap.add_argument("--sharded", type=int, default=0, metavar="NDEV",
+                    help="profile the ShardedSimulation loop over NDEV "
+                         "devices instead of the single-device loop")
     ap.add_argument("--out", default="/tmp/minimd_prof")
     args = ap.parse_args()
 
     inp = builtin_deck(args.style)
     inp.nx = inp.ny = inp.nz = args.n
-    sim = Simulation.from_input(inp, dtype=jnp.float32)
+    if args.sharded:
+        from minimd_tpu.parallel import ShardedSimulation
+        sim = ShardedSimulation.from_input(
+            inp, devices=jax.devices()[:args.sharded], dtype=jnp.float32)
+    else:
+        sim = Simulation.from_input(inp, dtype=jnp.float32)
     print(f"natoms={sim.natoms} grid={sim.geom.nb} C={sim.geom.capacity}")
     sim.run(args.steps)  # warm
 
