@@ -45,24 +45,22 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
                          nb_local=None, exchanges=None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial).
 
-    Single device: the fused kernel (periodic z/y wrap in the BlockSpec
-    index maps, candidates roll-packed straight from the raw grid — no
-    halo-padded grid in HBM). Sharded (nb_local/exchanges given): halos
-    come from mesh neighbors via the exchange hooks, so the padded-grid +
-    packed-candidate XLA prologue remains (same contract as
-    ops/lj_grid.make_lj_force_grid)."""
-    if nb_local is None and exchanges is None:
-        return _make_lj_force_pallas_fused(geom, params, dtype=dtype,
-                                           interpret=interpret)
-    return _make_lj_force_pallas_packed(geom, params, dtype=dtype,
-                                        interpret=interpret,
-                                        nb_local=nb_local, exchanges=exchanges)
+    One kernel for both the single-device and the sharded path, with a
+    per-axis halo mode (see _make_lj_force_pallas_fused): axes the mesh
+    does not decompose fold the periodic halo into the BlockSpec index
+    maps (no halo in HBM at all); decomposed axes exchange LANE-PACKED
+    boundary slabs with mesh neighbors through the `exchanges` ppermute
+    hooks. On a 1-device mesh the sharded program therefore degenerates
+    to exactly the single-device kernel."""
+    return _make_lj_force_pallas_fused(geom, params, dtype=dtype,
+                                       interpret=interpret,
+                                       nb_local=nb_local, exchanges=exchanges)
 
 
 def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
-                                dtype=jnp.float32, interpret: bool = False):
-    """Single-device kernel with the periodic halo folded out of the data
-    path. Two pieces:
+                                dtype=jnp.float32, interpret: bool = False,
+                                nb_local=None, exchanges=None):
+    """Kernel with the halo folded out of the data path. Two pieces:
 
     - XLA prologue: lane-pack candidates [x-1 | x | x+1] straight from the
       raw (nbz, nby, nbx, C) grid via jnp.roll (one fused elementwise pass;
@@ -88,13 +86,22 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     accumulators become VMEM spill traffic every row, while Mosaic's
     per-row lane reduction costs about one op per element — cheaper than
     the full-width add that replaces it. Keep the per-row `jnp.sum`s.
+
+    Sharded (nb_local + exchanges given): each axis independently keeps
+    the fused scheme where it can. Axes the mesh does NOT decompose wrap
+    periodically in the index maps exactly as above. Decomposed axes get
+    their halo from mesh neighbors: the x-halo is two thin cell COLUMNS
+    folded into the candidate pack, and decomposed z/y axes concatenate
+    ppermuted LANE-PACKED slabs (one extra row each side). The reference's
+    dim-ordered swap composition (comm.cpp:739-867) is preserved: x
+    columns first, then y, then z, so corner ghosts compose.
     """
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"
     h = halo_extent(geom)
     assert h == 1, "pallas LJ kernel assumes binsize >= cutneigh (h == 1)"
 
-    nbx, nby, nbz = geom.nb
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
     M = nbx * nby * nbz * C
     LANE = _round_up(3 * C, 128)
@@ -103,10 +110,16 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     sig6 = float(params.sigma6[0])
     prx, pry, prz = (float(p) for p in geom.prd)
 
+    # per-axis halo mode: grid ARRAY axes (0=z, 1=y, 2=x) present in
+    # `exchanges` are mesh-decomposed -> materialized neighbor halo;
+    # absent -> periodic wrap in the index maps + in-kernel ±prd shifts
+    exchanges = exchanges or {}
+    dec_z, dec_y, dec_x = (0 in exchanges), (1 in exchanges), (2 in exchanges)
+
     def kernel(*refs, evflag: bool):
         # refs: 27 packed-candidate rows (coord-major, then (dz, dy)
-        # row-major), each (1, 1, nbx, LANE) fetched at the wrapped
-        # (z+dz, y+dy) grid row; 3 xi rows (1, 1, nbx, C); outputs
+        # row-major), each (1, 1, nbx, LANE) fetched at the wrapped or
+        # halo-padded (z+dz, y+dy) row; 3 xi rows (1, 1, nbx, C); outputs
         # f (3, 1, 1, nbx, C) and the eng/vir accumulators (8, 128).
         j_refs = refs[0:27]
         xi_refs = refs[27:30]
@@ -138,14 +151,19 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
         eng = jnp.zeros((), jnp.float32)
         vir = jnp.zeros((), jnp.float32)
 
+        zero = jnp.zeros((), jnp.float32)
         for dz in (-1, 0, 1):
-            # the fetched row is a periodic image iff z+dz (y+dy) crosses
-            # the boundary: shift its coordinates by ±prd
-            zs = jnp.where(z + dz < 0, -prz,
-                           jnp.where(z + dz >= nbz, prz, 0.0)).astype(jnp.float32)
+            # wrapped axes: the fetched row is a periodic image iff z+dz
+            # (y+dy) crosses the boundary — shift its coordinates by ±prd.
+            # Decomposed axes: the halo slab arrived pre-shifted from the
+            # neighbor (exchange hooks apply the boundary fix), zs = 0.
+            zs = zero if dec_z else jnp.where(
+                z + dz < 0, -prz,
+                jnp.where(z + dz >= nbz, prz, 0.0)).astype(jnp.float32)
             for dy in (-1, 0, 1):
-                ys = jnp.where(y + dy < 0, -pry,
-                               jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
+                ys = zero if dec_y else jnp.where(
+                    y + dy < 0, -pry,
+                    jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
                 k = (dz + 1) * 3 + (dy + 1)
                 j0 = j_refs[0 * 9 + k][0, 0][:, None, :]    # (nbx, 1, LANE)
                 j1 = j_refs[1 * 9 + k][0, 0][:, None, :] + ys
@@ -187,40 +205,60 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             vir_ref[...] += jnp.where(cell, vir * 0.5, 0.0)
 
     def pack_candidates(g, c):
-        """Raw (nbz, nby, nbx, C) coordinate grid -> (nbz, nby, nbx, LANE)
-        packed candidates [x-1 | x | x+1]; coord 0 gets the x-boundary
-        periodic image fix. Written as pure slice-concats with the ±prd
-        fix on just the thin wrap column: a roll+select formulation made
-        XLA spend ~3-4 ops/element on what is a copy (measured 0.47 ms of
-        the 864k step in maximum_maximum/DUS fusions)."""
-        wrap_l = g[:, :, nbx - 1:]
-        wrap_r = g[:, :, :1]
-        if c == 0:
-            wrap_l = wrap_l - prx
-            wrap_r = wrap_r + prx
+        """Raw (nbz, nby, nbx, C) coordinate grid -> packed candidates
+        [x-1 | x | x+1] with decomposed-axis halos appended. Undecomposed
+        x: periodic wrap columns with the ±prd image fix on coord 0;
+        decomposed x: the two columns come from mesh neighbors (the hook
+        applies any boundary shift). Then decomposed y/z axes concatenate
+        ppermuted rows OF THE PACKED array (y before z, composing corner
+        ghosts like comm.cpp:739-867). Written as pure slice-concats: a
+        roll+select formulation made XLA spend ~3-4 ops/element on what is
+        a copy (measured 0.47 ms of the 864k step)."""
+        if dec_x:
+            wrap_l, wrap_r = exchanges[2](g, c)
+        else:
+            wrap_l = g[:, :, nbx - 1:]
+            wrap_r = g[:, :, :1]
+            if c == 0:
+                wrap_l = wrap_l - prx
+                wrap_r = wrap_r + prx
         left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
         right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
         parts = [left, g, right]
         if LANE > 3 * C:
             parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
                                   g.dtype))
-        return jnp.concatenate(parts, axis=-1)
+        j = jnp.concatenate(parts, axis=-1)
+        for axis in (1, 0):   # y then z: corner ghosts compose dim-by-dim
+            if axis in exchanges:
+                lo, hi = exchanges[axis](j, c)
+                j = jnp.concatenate([lo, j, hi], axis=axis)
+        return j
+
+    # inside shard_map, pallas outputs must declare how they vary across
+    # the mesh (check_vma); device-local outputs vary over every axis
+    _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
 
     def build(evflag: bool):
         kfn = functools.partial(kernel, evflag=evflag)
         out_shape = (
-            jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32, **_vma),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32, **_vma),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32, **_vma),
         )
-        # nine (dz, dy) views of each packed array, wrapped periodically in
-        # the index map; per-program blocks are single rows, so VMEM stays
-        # constant at any system size
+        # nine (dz, dy) views of each packed array; per-program blocks are
+        # single rows, so VMEM stays constant at any system size. Wrapped
+        # axes index ((z+dz-1) % nbz) into the raw-extent array; halo'd
+        # axes index (z+dz) into the one-row-padded extent.
+        zmap = ((lambda z, dz: z + dz) if dec_z
+                else (lambda z, dz: (z + dz - 1) % nbz))
+        ymap = ((lambda y, dy: y + dy) if dec_y
+                else (lambda y, dy: (y + dy - 1) % nby))
         j_specs = [
             pl.BlockSpec((1, 1, nbx, LANE),
                          functools.partial(
-                             lambda dz, dy, z, y:
-                             ((z + dz - 1) % nbz, (y + dy - 1) % nby, 0, 0),
+                             lambda dz, dy, z, y: (zmap(z, dz), ymap(y, dy),
+                                                   0, 0),
                              dz, dy),
                          memory_space=pltpu.VMEM)
             for _coord in range(3) for dz in (0, 1, 2) for dy in (0, 1, 2)
@@ -251,177 +289,6 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             args = [J[c] for c in range(3) for _off in range(9)] + g
             f, eng, vir = call(*args)
             return f.reshape(3, M), jnp.sum(eng), jnp.sum(vir)
-
-        return force
-
-    return build(True), build(False)
-
-
-def _make_lj_force_pallas_packed(geom: CellGeometry, params: LJParams,
-                                 dtype=jnp.float32, interpret: bool = False,
-                                 nb_local=None, exchanges=None):
-    """Packed-candidate variant (XLA halo fill + lane packing prologue) —
-    the sharded path, where halos come from mesh neighbors via the
-    exchange hooks rather than periodic self-wrap."""
-    assert params.uniform, "pallas LJ path requires type-uniform parameters"
-    assert dtype == jnp.float32, "pallas LJ kernel is f32"
-    h = halo_extent(geom)
-    assert h == 1, "pallas LJ kernel assumes binsize >= cutneigh (h == 1)"
-
-    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
-    C = geom.capacity
-    M = nbx * nby * nbz * C
-    Yp = nby + 2
-    LANE = _round_up(3 * C, 128)
-    cutsq = float(params.cutforcesq[0])
-    eps = float(params.epsilon[0])
-    sig6 = float(params.sigma6[0])
-
-    # One y-row per program: the (dz, dy) view index maps shift by BLOCKS,
-    # so a +-1 y-neighbor view is only expressible with single-row blocks;
-    # YB > 1 would need overlapping (YB+2)-row windows, which BlockSpecs
-    # cannot express (size == stride). Single rows also measured fastest.
-    YB = 1
-
-    def kernel(*refs, evflag: bool):
-        # refs: 27 J blocks (coord-major, then (dz, dy) row-major), 3 Xi
-        # blocks, then outputs f0 f1 f2, eng, vir. Each J block is (1, YB,
-        # nbx, LANE) from the dy-shifted copy of the packed candidates.
-        j_refs = refs[0:27]
-        xi_refs = refs[27:30]  # (1, YB, nbx, C)
-        f_refs = refs[30:33]
-        eng_ref, vir_ref = refs[33], refs[34]
-
-        # self-pair mask for the (dy,dz)=(0,0) row: lane block 1 (dx=0)
-        # holds the row itself; self pair when lane%C == i sublane index.
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
-        sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
-        self_mask = (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
-        # compile-time epsilon on the self lanes only (see the fused
-        # kernel): m/rsq needs no (1-m) blend anywhere else
-        self_eps = self_mask.astype(jnp.float32)
-
-        eng = jnp.zeros((), jnp.float32)
-        vir = jnp.zeros((), jnp.float32)
-
-        for yy in range(YB):
-            xi0 = xi_refs[0][0, yy]    # (nbx, C)
-            xi1 = xi_refs[1][0, yy]
-            xi2 = xi_refs[2][0, yy]
-
-            facc0 = jnp.zeros((nbx, C), jnp.float32)
-            facc1 = jnp.zeros((nbx, C), jnp.float32)
-            facc2 = jnp.zeros((nbx, C), jnp.float32)
-
-            for dz in (-1, 0, 1):
-                for dy in (-1, 0, 1):
-                    k = (dz + 1) * 3 + (dy + 1)
-                    j0 = j_refs[0 * 9 + k][0, yy][:, None, :]    # (nbx,1,LANE)
-                    j1 = j_refs[1 * 9 + k][0, yy][:, None, :]
-                    j2 = j_refs[2 * 9 + k][0, yy][:, None, :]
-                    d0 = xi0[:, :, None] - j0                    # (nbx,C,LANE)
-                    d1 = xi1[:, :, None] - j1
-                    d2 = xi2[:, :, None] - j2
-                    rsq = d0 * d0 + d1 * d1 + d2 * d2
-                    mask = rsq < cutsq
-                    if dz == 0 and dy == 0:
-                        mask = mask & ~self_mask[None, :, :]
-                        rsq_den = rsq + self_eps[None, :, :]
-                    else:
-                        rsq_den = rsq
-                    # mask arithmetic instead of selects: sr2 == 0 for
-                    # masked pairs, so sr6/fc/eng terms vanish on their own
-                    m = mask.astype(jnp.float32)
-                    sr2 = m / rsq_den
-                    sr6 = sr2 * sr2 * sr2 * sig6
-                    fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
-                    facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
-                    facc1 = facc1 + jnp.sum(fc * d1, axis=-1)
-                    facc2 = facc2 + jnp.sum(fc * d2, axis=-1)
-                    if evflag:
-                        eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * m)
-                        vir = vir + jnp.sum(rsq * fc)
-
-            f_refs[0][0, yy] = facc0
-            f_refs[1][0, yy] = facc1
-            f_refs[2][0, yy] = facc2
-
-        if evflag:
-            cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
-                jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
-            eng_ref[0, 0] = jnp.where(cell00, eng * (4.0 * eps), 0.0)
-            vir_ref[0, 0] = jnp.where(cell00, vir * 0.5, 0.0)
-        else:
-            eng_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
-            vir_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
-
-    def pack_candidates(Xp):
-        """(Zp, Yp, Xp_cells, C) padded grid -> three y-shifted
-        (Zp, nby, nbx, LANE) lane-packed candidate arrays, one per dy, so
-        program blocks are plain y-aligned slices."""
-        packed = []
-        for g in Xp:
-            j = jnp.concatenate(
-                [g[:, :, 0:nbx], g[:, :, 1:nbx + 1], g[:, :, 2:nbx + 2]],
-                axis=-1)
-            if LANE > 3 * C:
-                pad = jnp.full((*j.shape[:-1], LANE - 3 * C), _BIG, j.dtype)
-                j = jnp.concatenate([j, pad], axis=-1)
-            packed.append(j.reshape(nbz + 2, Yp, nbx, LANE))
-        return packed
-
-    # inside shard_map, pallas outputs must declare how they vary across
-    # the mesh (check_vma); device-local outputs vary over every axis
-    _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
-
-    def build(evflag: bool):
-        kfn = functools.partial(kernel, evflag=evflag)
-        out_shape = (
-            *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
-                                   **_vma),) * 3,
-            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32,
-                                 **_vma),
-            jax.ShapeDtypeStruct((nbz, nby // YB, 8, 128), jnp.float32,
-                                 **_vma),
-        )
-        # nine (dz, dy)-offset views of each J array: per-program blocks are
-        # single rows, so VMEM stays constant at any system size
-        j_specs = [
-            pl.BlockSpec((1, YB, nbx, LANE),
-                         functools.partial(
-                             lambda dz, dy, z, y: (z + dz, y + dy, 0, 0),
-                             dz, dy),
-                         memory_space=pltpu.VMEM)
-            for _coord in range(3) for dz in (0, 1, 2) for dy in (0, 1, 2)
-        ]
-        xi_spec = pl.BlockSpec((1, YB, nbx, C), lambda z, y: (z, y, 0, 0),
-                               memory_space=pltpu.VMEM)
-        fspec = pl.BlockSpec((1, YB, nbx, C), lambda z, y: (z, y, 0, 0),
-                             memory_space=pltpu.VMEM)
-        sspec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
-                             memory_space=pltpu.VMEM)
-        call = pl.pallas_call(
-            kfn,
-            grid=(nbz, nby // YB),
-            in_specs=j_specs + [xi_spec] * 3,
-            out_specs=(fspec, fspec, fspec, sspec, sspec),
-            out_shape=out_shape,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )
-
-        def force(x, typ):
-            del typ
-            Xp = to_padded_soa(x, geom, h, nb_local=(nbx, nby, nbz),
-                               exchanges=exchanges)
-            J = pack_candidates(Xp)
-            Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
-            args = [J[c] for c in range(3) for _off in range(9)] + Xi
-            f0, f1, f2, eng, vir = call(*args)
-            f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
-                          axis=0)
-            return f, jnp.sum(eng), jnp.sum(vir)
 
         return force
 

@@ -275,15 +275,25 @@ def make_sharded_lj_run(
             f, eng, vir = jax.lax.cond(
                 ev, lambda a, b: local_force(a, b, True), _noev, x, typ)
             v = v + dtf_c * f
-            eng = jax.lax.psum(eng, ("z", "y", "x"))
-            vir = jax.lax.psum(vir, ("z", "y", "x"))
-            t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
-            u = eng * scales.e_scale / natoms
-            p = (t * scales.dof_boltz + vir) * scales.p_scale
-            row = jnp.stack([t, u, p])
-            # thermo rows only on the nstat cadence (+ final step),
-            # matching the single-device scan and thermo.cpp:61-66
-            row = jnp.where(ev, row, jnp.zeros_like(row))
+
+            # thermo (reductions included) only on the nstat cadence +
+            # final step, matching the single-device scan and
+            # thermo.cpp:78-80: the temperature reduction reads all of v
+            # and its psum rides the mesh — measurable glue per step.
+            # Both cond branches are mesh-invariant (psum output / consts),
+            # and ev is replicated, so the collectives-in-cond are safe
+            # (the force cond above already carries the halo ppermutes).
+            def _row(v, eng, vir):
+                e = jax.lax.psum(eng, ("z", "y", "x"))
+                w = jax.lax.psum(vir, ("z", "y", "x"))
+                t = (jax.lax.psum(jnp.sum(v * v), ("z", "y", "x"))
+                     * mass * scales.t_scale)
+                u = e * scales.e_scale / natoms
+                p = (t * scales.dof_boltz + w) * scales.p_scale
+                return jnp.stack([t, u, p])
+
+            row = jax.lax.cond(
+                ev, _row, lambda *_a: jnp.zeros((3,), dtype), v, eng, vir)
             return (x, v, f, typ, valid, ovf), row
 
         # overflow starts device-varying (axis_index) so the cond branches
