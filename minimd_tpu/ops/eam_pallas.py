@@ -31,7 +31,7 @@ from ..cells import CellGeometry, _SENTINEL_BASE
 from ..eam_file import build_pair_polys
 from .eam import EAMTables
 from .eam_grid import eval_pair_fns
-from .pairgrid import halo_extent, pad_grid_int, to_padded_soa
+from .pairgrid import halo_extent
 
 _BIG = 5.0e5
 
@@ -46,250 +46,20 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                           nb_local=None, exchanges=None, fp_exchange=None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
 
-    Single device: the fused variant (periodic wrap in the BlockSpec index
-    maps, candidates packed straight from the raw grids — no halo-padded
-    grids in HBM; same scheme as the LJ fused kernel). Sharded
-    (nb_local/exchanges given): halos come from mesh neighbors via the
-    exchange hooks, so the padded-grid prologue remains."""
-    if nb_local is None and exchanges is None and fp_exchange is None:
-        return _make_eam_force_pallas_fused(geom, tables, ntypes,
-                                            dtype=dtype, degree=degree,
-                                            interpret=interpret)
-    return _make_eam_force_pallas_packed(geom, tables, ntypes, dtype=dtype,
-                                         degree=degree, interpret=interpret,
-                                         nb_local=nb_local,
-                                         exchanges=exchanges,
-                                         fp_exchange=fp_exchange)
-
-
-def _make_eam_force_pallas_packed(geom: CellGeometry, tables: EAMTables,
-                                  ntypes: int = 1, dtype=jnp.float32,
-                                  degree: int | None = None,
-                                  interpret: bool = False,
-                                  nb_local=None, exchanges=None,
-                                  fp_exchange=None):
-    """Padded-grid variant (XLA halo fill + lane packing prologue) — the
-    sharded path, where halos come from mesh neighbors."""
-    assert dtype == jnp.float32, "pallas EAM kernel is f32"
-    h = halo_extent(geom)
-    assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
-
-    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
-    nb_loc = (nbx, nby, nbz)
-    C = geom.capacity
-    M = nbx * nby * nbz * C
-    Yp = nby + 2
-    LANE = _round_up(3 * C, 128)
-
-    polys = build_pair_polys(tables, degree=degree)
-    cutsq = float(tables.cut ** 2)
-
-    frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
-    rdrho = 1.0 / tables.drho
-    nrho = tables.nrho
-
-    def self_mask_2d():
-        lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
-        sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
-        return (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
-
-    def pair_r(j_refs, xi, dz, dy):
-        k = (dz + 1) * 3 + (dy + 1)
-        j0 = j_refs[0 * 9 + k][0, 0][:, None, :]   # (nbx, 1, LANE)
-        j1 = j_refs[1 * 9 + k][0, 0][:, None, :]
-        j2 = j_refs[2 * 9 + k][0, 0][:, None, :]
-        d0 = xi[0][:, :, None] - j0                # (nbx, C, LANE)
-        d1 = xi[1][:, :, None] - j1
-        d2 = xi[2][:, :, None] - j2
-        rsq = d0 * d0 + d1 * d1 + d2 * d2
-        mask = rsq < cutsq
-        if dz == 0 and dy == 0:
-            mask = mask & ~self_mask_2d()[None, :, :]
-        m = mask.astype(jnp.float32)
-        # no masking blend: sentinels are >=1e3 apart (cells.py) so masked
-        # rsq is large-but-finite and the eval clamps keep polys bounded
-        r = jnp.sqrt(rsq)
-        return (d0, d1, d2), rsq, r, m
-
-    # ------------------------------------------------------------------
-    # pass 1: rho
-    # ------------------------------------------------------------------
-    def rho_kernel(*refs):
-        j_refs = refs[0:27]
-        xi_refs = refs[27:30]
-        rho_ref = refs[30]
-        xi = [xr[0, 0] for xr in xi_refs]
-        rho = jnp.zeros((nbx, C), jnp.float32)
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                _, _, r, m = pair_r(j_refs, xi, dz, dy)
-                val = eval_pair_fns(r, polys, ("R",))["R"]
-                rho = rho + jnp.sum(val * m, axis=-1)
-        rho_ref[0, 0] = rho
-
-    # ------------------------------------------------------------------
-    # pass 2: forces (needs fp of i and of candidates)
-    # ------------------------------------------------------------------
-    def force_kernel(*refs, evflag: bool):
-        j_refs = refs[0:27]
-        fp_refs = refs[27:36]    # lane-packed fp rows, (dz, dy) views
-        xi_refs = refs[36:39]
-        fpi_ref = refs[39]       # (1, 1, nbx, C) own fp
-        f_refs = refs[40:43]
-        eng_ref, vir_ref = refs[43], refs[44]
-
-        xi = [xr[0, 0] for xr in xi_refs]
-        fp_i = fpi_ref[0, 0]                    # (nbx, C)
-
-        facc = [jnp.zeros((nbx, C), jnp.float32) for _ in range(3)]
-        eng = jnp.zeros((), jnp.float32)
-        vir = jnp.zeros((), jnp.float32)
-        names = ("G1", "G2", "P") if evflag else ("G1", "G2")
-
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                (d0, d1, d2), rsq, r, m = pair_r(j_refs, xi, dz, dy)
-                g = eval_pair_fns(r, polys, names)
-                k = (dz + 1) * 3 + (dy + 1)
-                fp_j = fp_refs[k][0, 0][:, None, :]       # (nbx, 1, LANE)
-                psip = (fp_i[:, :, None] + fp_j) * g["G1"] + g["G2"]
-                fpair = -psip * m
-                facc[0] = facc[0] + jnp.sum(fpair * d0, axis=-1)
-                facc[1] = facc[1] + jnp.sum(fpair * d1, axis=-1)
-                facc[2] = facc[2] + jnp.sum(fpair * d2, axis=-1)
-                if evflag:
-                    eng = eng + jnp.sum(g["P"] * m)
-                    vir = vir + 0.5 * jnp.sum(rsq * fpair)
-
-        for i in range(3):
-            f_refs[i][0, 0] = facc[i]
-        cell00 = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) == 0) & (
-            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) == 0)
-        if evflag:
-            eng_ref[0, 0] = jnp.where(cell00, eng, 0.0)
-            vir_ref[0, 0] = jnp.where(cell00, vir, 0.0)
-        else:
-            eng_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
-            vir_ref[0, 0] = jnp.zeros((8, 128), jnp.float32)
-
-    # ------------------------------------------------------------------
-    # packing + glue
-    # ------------------------------------------------------------------
-    def pack_lanes(g):
-        """padded (Zp, Yp, Xp_cells, C) -> (Zp, Yp, nbx, LANE)."""
-        j = jnp.concatenate([g[:, :, 0:nbx], g[:, :, 1:nbx + 1],
-                             g[:, :, 2:nbx + 2]], axis=-1)
-        if LANE > 3 * C:
-            pad = jnp.full((*j.shape[:-1], LANE - 3 * C), _BIG, j.dtype)
-            j = jnp.concatenate([j, pad], axis=-1)
-        return j.reshape(nbz + 2, Yp, nbx, LANE)
-
-    def embedding(rho, valid, evflag: bool):
-        p = rho * rdrho + 1.0
-        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
-        p = jnp.minimum(p - m.astype(dtype), 1.0)
-        fp = (jnp.take(frho_sp[:, 0], m) * p + jnp.take(frho_sp[:, 1], m)) * p \
-            + jnp.take(frho_sp[:, 2], m)
-        if evflag:
-            emb = ((jnp.take(frho_sp[:, 3], m) * p + jnp.take(frho_sp[:, 4], m)) * p
-                   + jnp.take(frho_sp[:, 5], m)) * p + jnp.take(frho_sp[:, 6], m)
-            return fp, jnp.sum(jnp.where(valid, emb, 0.0))
-        return fp, jnp.zeros((), dtype)
-
-    # nine (dz, dy)-offset single-row views per packed array: VMEM stays
-    # constant at any system size (same trick as lj_pallas)
-    def view_specs(n_coords):
-        return [
-            pl.BlockSpec((1, 1, nbx, LANE),
-                         functools.partial(
-                             lambda dz, dy, z, y: (z + dz, y + dy, 0, 0),
-                             dz, dy),
-                         memory_space=pltpu.VMEM)
-            for _c in range(n_coords) for dz in (0, 1, 2) for dy in (0, 1, 2)
-        ]
-
-    row_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
-                            memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((1, 1, 8, 128), lambda z, y: (z, y, 0, 0),
-                          memory_space=pltpu.VMEM)
-
-    # inside shard_map, pallas outputs must declare how they vary across
-    # the mesh (check_vma); device-local outputs vary over every axis
-    _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
-
-    # embedding via the chunked dynamic_gather kernel (the XLA jnp.take
-    # gathers measured 4.3 ms/step at 131k — see make_embedding_pallas)
-    embed_noev_p, embed_ev_p = make_embedding_pallas(
-        tables, M, interpret=interpret,
-        vma=("z", "y", "x") if nb_local is not None else None)
-
-    rho_call = pl.pallas_call(
-        rho_kernel,
-        grid=(nbz, nby),
-        in_specs=view_specs(3) + [row_spec] * 3,
-        out_specs=row_spec,
-        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
-                                       **_vma),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
-
-    def build(evflag: bool):
-        force_call = pl.pallas_call(
-            functools.partial(force_kernel, evflag=evflag),
-            grid=(nbz, nby),
-            in_specs=view_specs(3) + view_specs(1) + [row_spec] * 4,
-            out_specs=(row_spec, row_spec, row_spec, s_spec, s_spec),
-            out_shape=(
-                *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
-                                       **_vma),) * 3,
-                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32,
-                                     **_vma),
-                jax.ShapeDtypeStruct((nbz, nby, 8, 128), jnp.float32,
-                                     **_vma),
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )
-
-        def force(x, typ):
-            del typ
-            Xp = to_padded_soa(x, geom, h, nb_local=nb_loc,
-                               exchanges=exchanges)
-            J = [pack_lanes(g) for g in Xp]
-            Xi = [g[1:-1, 1:-1, 1:nbx + 1] for g in Xp]
-            jargs = [J[c] for c in range(3) for _off in range(9)]
-
-            rho = rho_call(*jargs, *Xi)
-            valid = x[0] < 0.5 * _SENTINEL_BASE
-            if embed_noev_p is not None:
-                if evflag:
-                    fp, emb = embed_ev_p(rho.reshape(M), valid)
-                    embed_eng = jnp.sum(emb)
-                else:
-                    fp = embed_noev_p(rho.reshape(M))
-                    embed_eng = jnp.zeros((), dtype)
-            else:
-                fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
-            if fp_exchange is not None:
-                fp = fp_exchange(fp)
-            # fp halo: the reference's mid-force communicate
-            fp_pad = pad_grid_int(fp, geom, h, nb_local=nb_loc,
-                                  exchanges=exchanges).astype(jnp.float32)
-            FP = pack_lanes(fp_pad)
-            fp_i = fp.reshape(nbz, nby, nbx, C)
-
-            f0, f1, f2, eng, vir = force_call(
-                *jargs, *([FP] * 9), *Xi, fp_i)
-            f = jnp.stack([f0.reshape(M), f1.reshape(M), f2.reshape(M)],
-                          axis=0)
-            eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
-            return f, eng_vdwl, jnp.sum(vir)
-
-        return force
-
-    return build(True), build(False)
+    One kernel for both the single-device and the sharded path, with a
+    per-axis halo mode (see _make_eam_force_pallas_fused): axes the mesh
+    does not decompose fold the periodic halo into the BlockSpec index
+    maps (no halo in HBM at all); decomposed axes exchange LANE-PACKED
+    boundary slabs with mesh neighbors through the `exchanges` ppermute
+    hooks — both for the coordinates and for the mid-force fp halo
+    (force_eam.cpp:274-449 two-pass structure). On a 1-device mesh the
+    sharded program degenerates to exactly the single-device kernel."""
+    return _make_eam_force_pallas_fused(geom, tables, ntypes,
+                                        dtype=dtype, degree=degree,
+                                        interpret=interpret,
+                                        nb_local=nb_local,
+                                        exchanges=exchanges,
+                                        fp_exchange=fp_exchange)
 
 
 def make_eam_force_pallas_rows(geom: CellGeometry, tables: EAMTables,
@@ -586,26 +356,44 @@ def make_eam_force_pallas_rows(geom: CellGeometry, tables: EAMTables,
 def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
                                  ntypes: int = 1, dtype=jnp.float32,
                                  degree: int | None = None,
-                                 interpret: bool = False):
-    """Fused single-device EAM kernels: periodic z/y wrap in the BlockSpec
-    index maps with in-kernel ±prd scalar shifts, candidates packed
-    [x-1 | x | x+1] straight from the raw grids by slice-concats (thin
-    wrap-column fix), the fp halo likewise (a scalar field — no fix). The
-    padded grids + pack_lanes passes of the packed variant (~4.3 ms/step of
-    XLA fusions at 131k, profiled) do not exist here.
+                                 interpret: bool = False,
+                                 nb_local=None, exchanges=None,
+                                 fp_exchange=None):
+    """Fused EAM kernels: periodic z/y wrap in the BlockSpec index maps
+    with in-kernel ±prd scalar shifts, candidates packed [x-1 | x | x+1]
+    straight from the raw grids by slice-concats (thin wrap-column fix),
+    the fp halo likewise (a scalar field — no fix). The halo-padded grids
+    + pack_lanes passes of the former packed variant (~4.3 ms/step of XLA
+    fusions at 131k, profiled) do not exist here.
+
+    Sharded (nb_local + exchanges given): each axis independently keeps
+    the fused scheme where it can — exactly the LJ mixed-fused layout
+    (ops/lj_pallas.py). Axes the mesh does NOT decompose wrap periodically
+    in the index maps as above; decomposed axes get their halo from mesh
+    neighbors (x as thin cell columns folded into the candidate pack,
+    y/z as ppermuted LANE-PACKED slabs), composing corner ghosts
+    dim-by-dim like the reference (comm.cpp:739-867). The mid-force fp
+    halo (force_eam.cpp:372-377's communicate) rides the same hooks with
+    no coordinate fix.
 
     Pair evaluation is the polynomial-table scheme (eam_file
-    build_pair_polys via eval_pair_fns), identical to the packed variant.
+    build_pair_polys via eval_pair_fns).
     """
     assert dtype == jnp.float32, "pallas EAM kernel is f32"
     h = halo_extent(geom)
     assert h == 1, "pallas EAM kernel assumes binsize >= cutneigh"
 
-    nbx, nby, nbz = geom.nb
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
     M = nbx * nby * nbz * C
     LANE = _round_up(3 * C, 128)
     prx, pry, prz = (float(p) for p in geom.prd)
+
+    # per-axis halo mode: grid ARRAY axes (0=z, 1=y, 2=x) present in
+    # `exchanges` are mesh-decomposed -> materialized neighbor halo;
+    # absent -> periodic wrap in the index maps + in-kernel ±prd shifts
+    exchanges = exchanges or {}
+    dec_z, dec_y, dec_x = (0 in exchanges), (1 in exchanges), (2 in exchanges)
 
     polys = build_pair_polys(tables, degree=degree)
     cutsq = float(tables.cut ** 2)
@@ -620,10 +408,16 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         return (lane_i // C == 1) & (lane_i % C == sub_i) & (lane_i < 3 * C)
 
     def pair_r(j_refs, xi, dz, dy, z, y):
-        zs = jnp.where(z + dz < 0, -prz,
-                       jnp.where(z + dz >= nbz, prz, 0.0)).astype(jnp.float32)
-        ys = jnp.where(y + dy < 0, -pry,
-                       jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
+        # wrapped axes: the fetched row is a periodic image iff z+dz (y+dy)
+        # crosses the boundary — shift by ±prd. Decomposed axes: the halo
+        # slab arrived pre-shifted from the neighbor, zs/ys = 0.
+        zero = jnp.zeros((), jnp.float32)
+        zs = zero if dec_z else jnp.where(
+            z + dz < 0, -prz,
+            jnp.where(z + dz >= nbz, prz, 0.0)).astype(jnp.float32)
+        ys = zero if dec_y else jnp.where(
+            y + dy < 0, -pry,
+            jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
         k = (dz + 1) * 3 + (dy + 1)
         j0 = j_refs[0 * 9 + k][0, 0][:, None, :]   # (nbx, 1, LANE)
         j1 = j_refs[1 * 9 + k][0, 0][:, None, :] + ys
@@ -704,21 +498,35 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             vir_ref[...] += jnp.where(cell, vir, 0.0)
 
     def pack_candidates(g, c):
-        """Raw (nbz, nby, nbx, C) grid -> (nbz, nby, nbx, LANE) packed
-        candidates; c == 0 gets the x-boundary image fix, c < 0 none (the
-        fp scalar field). Pure slice-concats (see lj_pallas)."""
-        wrap_l = g[:, :, nbx - 1:]
-        wrap_r = g[:, :, :1]
-        if c == 0:
-            wrap_l = wrap_l - prx
-            wrap_r = wrap_r + prx
+        """Raw (nbz, nby, nbx, C) grid -> packed candidates [x-1 | x | x+1]
+        with decomposed-axis halos appended; c == 0 gets the x-boundary
+        image fix, c < 0 none (the fp scalar field — the exchange hooks
+        also key their shift on the coordinate dim, so c = -1 ships fp
+        unshifted). Undecomposed x: periodic wrap columns; decomposed x:
+        the two columns come from mesh neighbors. Then decomposed y/z axes
+        concatenate ppermuted rows OF THE PACKED array (y before z,
+        composing corner ghosts like comm.cpp:739-867). Pure slice-concats
+        (see lj_pallas)."""
+        if dec_x:
+            wrap_l, wrap_r = exchanges[2](g, c)
+        else:
+            wrap_l = g[:, :, nbx - 1:]
+            wrap_r = g[:, :, :1]
+            if c == 0:
+                wrap_l = wrap_l - prx
+                wrap_r = wrap_r + prx
         left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
         right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
         parts = [left, g, right]
         if LANE > 3 * C:
             parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
                                   g.dtype))
-        return jnp.concatenate(parts, axis=-1)
+        j = jnp.concatenate(parts, axis=-1)
+        for axis in (1, 0):   # y then z: corner ghosts compose dim-by-dim
+            if axis in exchanges:
+                lo, hi = exchanges[axis](j, c)
+                j = jnp.concatenate([lo, j, hi], axis=axis)
+        return j
 
     def embedding(rho, valid, evflag: bool):
         p = rho * rdrho + 1.0
@@ -732,12 +540,21 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             return fp, jnp.sum(jnp.where(valid, emb, 0.0))
         return fp, jnp.zeros((), dtype)
 
+    # nine (dz, dy) views of each packed array; per-program blocks are
+    # single rows, so VMEM stays constant at any system size. Wrapped axes
+    # index ((z+dz-1) % nbz) into the raw-extent array; halo'd axes index
+    # (z+dz) into the one-row-padded extent.
+    zmap = ((lambda z, dz: z + dz) if dec_z
+            else (lambda z, dz: (z + dz - 1) % nbz))
+    ymap = ((lambda y, dy: y + dy) if dec_y
+            else (lambda y, dy: (y + dy - 1) % nby))
+
     def wrapped_specs(n_coords):
         return [
             pl.BlockSpec((1, 1, nbx, LANE),
                          functools.partial(
-                             lambda dz, dy, z, y:
-                             ((z + dz - 1) % nbz, (y + dy - 1) % nby, 0, 0),
+                             lambda dz, dy, z, y: (zmap(z, dz), ymap(y, dy),
+                                                   0, 0),
                              dz, dy),
                          memory_space=pltpu.VMEM)
             for _c in range(n_coords) for dz in (0, 1, 2) for dy in (0, 1, 2)
@@ -746,12 +563,17 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
     xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
                            memory_space=pltpu.VMEM)
 
+    # inside shard_map, pallas outputs must declare how they vary across
+    # the mesh (check_vma); device-local outputs vary over every axis
+    _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
+
     rho_call = pl.pallas_call(
         rho_kernel,
         grid=(nbz, nby),
         in_specs=wrapped_specs(3) + [xi_spec] * 3,
         out_specs=xi_spec,
-        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
+                                       **_vma),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
@@ -760,7 +582,8 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
     # cycles/element TPU gathers) — the chunked dynamic_gather kernel is
     # bit-identical and ~200x faster
     embed_noev_p, embed_ev_p = make_embedding_pallas(
-        tables, M, interpret=interpret)
+        tables, M, interpret=interpret,
+        vma=("z", "y", "x") if nb_local is not None else None)
 
     def build(evflag: bool):
         fspec = pl.BlockSpec((3, 1, 1, nbx, C), lambda z, y: (0, z, y, 0, 0),
@@ -773,9 +596,10 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             in_specs=wrapped_specs(3) + wrapped_specs(1) + [xi_spec] * 4,
             out_specs=(fspec, sspec, sspec),
             out_shape=(
-                jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
-                jax.ShapeDtypeStruct((8, 128), jnp.float32),
+                jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32,
+                                     **_vma),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32, **_vma),
+                jax.ShapeDtypeStruct((8, 128), jnp.float32, **_vma),
             ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -799,8 +623,11 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
                     embed_eng = jnp.zeros((), dtype)
             else:
                 fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+            if fp_exchange is not None:
+                fp = fp_exchange(fp)
             # fp halo: the reference's mid-force communicate — a scalar
-            # field, so the pack needs no boundary coordinate fix
+            # field, so the pack needs no boundary coordinate fix (and the
+            # exchange hooks key their shift on c, so c = -1 ships fp raw)
             fpg = fp.reshape(nbz, nby, nbx, C)
             FP = pack_candidates(fpg, -1)
 
