@@ -542,6 +542,97 @@ def test_sharded_pallas_backend_matches_xla():
                                rtol=5e-5)
 
 
+def test_sharded_pallas_mixed_axis_meshes():
+    """Per-axis halo modes of the mixed-fused kernels: meshes that
+    decompose only SOME axes must leave the other axes on the in-kernel
+    periodic wrap (ops/lj_pallas.py / ops/eam_pallas.py pack_candidates).
+    LJ runs on a (4, 2, 1) grid (x columns + y slabs from neighbors,
+    z wrapped); EAM on (1, 2, 2) (x wrapped incl. the boundary-image
+    column fix, y/z slabs + the fp mid-halo through the same hooks)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from minimd_tpu.parallel.step import make_sharded_eam_run, make_sharded_lj_run
+
+    inp = builtin_deck("lj")
+    nx = 16
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    natoms = len(x)
+    sc = thermo_scales(inp.units, natoms, box.volume)
+    v = create.create_velocity(v, inp.t_request, natoms, 1.0, sc.t_scale)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(8, 8, 8))
+    st = init_state(x, v, np.zeros(natoms, np.int32), geom,
+                    dtype=jnp.float32)
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+    f0 = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float32)[0])(
+        st.x, st.typ)[0]
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (4, 2, 1))
+    nbx, nby, nbz = geom.nb
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
+    sh1 = NamedSharding(mesh, P("z", "y", "x", None))
+    traces = {}
+    for backend in ("xla", "pallas"):
+        run, sharding = make_sharded_lj_run(
+            geom, params, mesh, sc, mass=1.0, dt=inp.dt,
+            dtforce=0.5 * inp.dt, natoms=natoms,
+            neigh_every=inp.neigh_every, nstat=1, dtype=jnp.float32,
+            backend=backend)
+        args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
+                for a in (st.x, st.v, f0)]
+        targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
+        varg = jax.device_put(np.asarray(st.valid).reshape(gs1), sh1)
+        *_, ovf, tr = run(*args, targ, varg, 3)
+        assert int(np.asarray(ovf).sum()) == 0
+        traces[backend] = np.asarray(tr)
+    np.testing.assert_allclose(traces["pallas"][:, 0], traces["xla"][:, 0],
+                               rtol=5e-6)
+    np.testing.assert_allclose(traces["pallas"][:, 1], traces["xla"][:, 1],
+                               rtol=5e-5)
+
+    from minimd_tpu.ops.eam import EAMTables
+    from minimd_tpu.ops.eam_grid import make_eam_force_grid
+
+    einp = builtin_deck("eam")
+    nx = 12
+    ebox = create.create_box(nx, nx, nx, einp.rho)
+    ex, ev = create.create_atoms(nx, nx, nx, einp.rho, ebox)
+    tables = EAMTables.from_funcfl()
+    esc = thermo_scales(1, len(ex), ebox.volume)
+    ev = create.create_velocity(ev, einp.t_request, len(ex), tables.mass,
+                                esc.t_scale)
+    egeom = cells.build_geometry(ebox.prd, einp.neigh_cut, ex,
+                                 nbins=(6, 6, 6))
+    est = init_state(ex, ev, np.zeros(len(ex), np.int32), egeom,
+                     dtype=jnp.float32)
+    edtf = 0.5 * einp.dt / esc.mvv2e / tables.mass
+    ef0 = jax.jit(make_eam_force_grid(egeom, tables, dtype=jnp.float32)[0])(
+        est.x, est.typ)[0]
+    emesh = make_mesh(jax.devices()[:4], ebox.prd, (1, 2, 2))
+    nbx, nby, nbz = egeom.nb
+    egs = (3, nbz, nby, nbx, egeom.capacity)
+    egs1 = (nbz, nby, nbx, egeom.capacity)
+    esh1 = NamedSharding(emesh, P("z", "y", "x", None))
+    etraces = {}
+    for backend in ("xla", "pallas"):
+        run, sharding = make_sharded_eam_run(
+            egeom, tables, emesh, esc, mass=tables.mass, dt=einp.dt,
+            dtforce=edtf, natoms=len(ex), neigh_every=einp.neigh_every,
+            nstat=1, dtype=jnp.float32, backend=backend)
+        args = [jax.device_put(np.asarray(a).reshape(egs), sharding)
+                for a in (est.x, est.v, ef0)]
+        targ = jax.device_put(np.asarray(est.typ).reshape(egs1), esh1)
+        varg = jax.device_put(np.asarray(est.valid).reshape(egs1), esh1)
+        *_, ovf, tr = run(*args, targ, varg, 3)
+        assert int(np.asarray(ovf).sum()) == 0
+        etraces[backend] = np.asarray(tr)
+    np.testing.assert_allclose(etraces["pallas"][:, 0], etraces["xla"][:, 0],
+                               rtol=5e-6)
+    np.testing.assert_allclose(etraces["pallas"][:, 1], etraces["xla"][:, 1],
+                               rtol=5e-5)
+
+
 def test_sharded_eam_h2_thick_slab_halo():
     """Sharded EAM on a fine grid (binsize < cutneigh -> h=2 stencil):
     2-cell-thick halo slabs AND the fp mid-force halo at h=2 must
