@@ -2,8 +2,10 @@
 
 Flag surface mirrors the reference (ljs.cpp:87-261); flags that encode
 CPU-specific execution knobs are accepted for compatibility and noted in
---help as no-ops on TPU (thread counts, SSE, half-neighbor lists — the TPU
-build always uses the scatter-free full-stencil kernel, SURVEY.md §2.4 P7).
+--help as no-ops on TPU (thread counts, SSE). --half_neigh 1 selects the
+Newton half-stencil parity path (LJ + EAM, single-device and sharded);
+the default remains the scatter-free full-stencil kernels, which measure
+faster on TPU (SURVEY.md §2.4 P7).
 """
 
 from __future__ import annotations
@@ -62,9 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[no-op on TPU] reference OpenMP thread count")
     p.add_argument("--teams", type=int, default=1, help="[no-op on TPU]")
     p.add_argument("--half_neigh", type=int, default=0,
-                   help="1 = Newton half-neighbor LJ path (each pair "
-                        "evaluated once, halo-fold j accumulation; ~2x "
-                        "slower on TPU, parity option); 0 = full stencils")
+                   help="1 = Newton half-neighbor path, LJ + EAM, also "
+                        "with --devices (each pair evaluated once, j-side "
+                        "accumulation folded/reverse-communicated back; "
+                        "~2x slower on TPU, parity option); "
+                        "0 = full stencils")
     p.add_argument("-gn", "--ghost_newton", type=int, default=0,
                    help="[no-op] see --half_neigh")
     p.add_argument("-sse", type=int, default=0, help="[no-op]")
@@ -240,17 +244,14 @@ def main_sharded(args, inp, dtype):
               f"have {len(jax.devices())}")
         sys.exit(1)
 
-    if args.half_neigh == 1:
-        print("# Warning: --half_neigh 1 is not supported with --devices "
-              "(the sharded loop uses scatter-free full stencils); "
-              "running full-neighbor.")
     print("# Create System (sharded):")
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
     ssim = ShardedSimulation.from_input(inp, devices=devices, dtype=dtype,
                                         nbins=nbins, ntypes=args.ntypes,
                                         safe_exchange=args.safe_exchange,
                                         backend=args.backend,
-                                        capacity=args.capacity)
+                                        capacity=args.capacity,
+                                        half_neigh=(args.half_neigh == 1))
     print("# Done .... ")
     banner(inp, ssim, args, args.input_file)
     print(f"# Mesh: {dict(ssim.mesh.shape)}")

@@ -33,13 +33,20 @@ from .pairgrid import halo_extent, pad_grid_int, stencil_slice, to_padded_soa
 
 def make_eam_force_half(geom: CellGeometry, tables: EAMTables,
                         ntypes: int = 1, dtype=jnp.float32,
-                        fp_exchange=None):
-    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial)."""
-    nbx, nby, nbz = geom.nb
+                        fp_exchange=None, nb_local=None, exchanges=None,
+                        folds=None):
+    """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
+
+    Sharded (nb_local + exchanges + folds given): forward halos (positions
+    and the mid-force fp) ride the `exchanges` ppermute hooks; the Newton
+    folds of rho and f return j-side accumulations through the `folds`
+    hooks (the reference's MPI half-list EAM: force_eam.cpp:126-267 with
+    reverse comms at :918-942 and comm.cpp:320-361)."""
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     nb = (nbx, nby, nbz)
     C = geom.capacity
     h = halo_extent(geom)
-    M = geom.nslots
+    M = nbx * nby * nbz * C
     tri = jnp.triu(jnp.ones((C, C), dtype=bool), k=1)
 
     # lexicographically-positive half of the stencil (z, y, x precedence),
@@ -75,7 +82,7 @@ def make_eam_force_half(geom: CellGeometry, tables: EAMTables,
 
     def _force(x, typ, evflag: bool):
         del typ  # single-funcfl: all type pairs share the table
-        Xp = to_padded_soa(x, geom, h)
+        Xp = to_padded_soa(x, geom, h, nb_local=nb, exchanges=exchanges)
         Xi = [stencil_slice(g, (0, 0, 0), h, nb) for g in Xp]
         valid = x[0] < 0.5 * _SENTINEL_BASE
         pshape = Xp[0].shape
@@ -107,13 +114,13 @@ def make_eam_force_half(geom: CellGeometry, tables: EAMTables,
                                      h + oy: h + oy + nby,
                                      h + ox: h + ox + nbx].add(rj)
         # Newton reverse-comm of the halo densities (force_eam.cpp:918-942)
-        rho = rho + _fold_halo(rho_pad, h)
+        rho = rho + _fold_halo(rho_pad, h, folds=folds)
 
         fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
         if fp_exchange is not None:
             fp = fp_exchange(fp)
         # fp halo: the reference's mid-force communicate (force_eam.cpp:851)
-        fp_pad = pad_grid_int(fp, geom, h)
+        fp_pad = pad_grid_int(fp, geom, h, nb_local=nb, exchanges=exchanges)
         fp_i = stencil_slice(fp_pad, (0, 0, 0), h, nb)
 
         # ---- pass 2: forces
@@ -150,7 +157,7 @@ def make_eam_force_half(geom: CellGeometry, tables: EAMTables,
                 vir = vir + jnp.sum(rsq * fpair)
 
         for c in range(3):
-            f[c] = f[c] + _fold_halo(fpad[c], h)
+            f[c] = f[c] + _fold_halo(fpad[c], h, folds=folds)
 
         fout = jnp.stack([fc.reshape(M) for fc in f], axis=0)
         # full-neighbor convention downstream (force_eam.cpp:446): the

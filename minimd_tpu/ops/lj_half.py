@@ -26,30 +26,50 @@ from .lj import LJParams
 from .pairgrid import halo_extent, stencil_slice, to_padded_soa
 
 
-def _fold_halo(g, h):
+def _fold_halo(g, h, folds=None):
     """Add the halo shells of a padded (Z+2h, Y+2h, X+2h, C) grid onto the
-    periodic interior and return the interior — the reverse of the halo
-    fill (the reference's reverse_communicate for Newton forces,
-    comm.cpp:320-361)."""
+    interior and return the interior — the reverse of the halo fill (the
+    reference's reverse_communicate for Newton forces, comm.cpp:320-361).
+
+    Axis order (z, then y, then x) is the exact adjoint of the fill's
+    x-then-y-then-z swap composition (pairgrid._pad_halo), so edge/corner
+    contributions route through the same intermediate hops in reverse —
+    like the reference's swaps-in-reverse-order loop (comm.cpp:324-327).
+
+    Single device: each axis folds periodically (lo halo onto the top
+    edge, hi onto the bottom). Sharded: `folds[grid_axis] = fn(lo, hi) ->
+    (add_top, add_bot)` hooks (parallel/step._make_folds) ppermute the
+    halo shells back to the neighbors that own those cells instead."""
     for axis in (0, 1, 2):
         n = g.shape[axis] - 2 * h
         lo = jnp.take(g, jnp.arange(0, h), axis=axis)
         hi = jnp.take(g, jnp.arange(h + n, 2 * h + n), axis=axis)
         g = jnp.take(g, jnp.arange(h, h + n), axis=axis)
-        # lo halo wraps onto the top edge, hi onto the bottom edge
-        top = jnp.take(g, jnp.arange(n - h, n), axis=axis) + lo
-        bot = jnp.take(g, jnp.arange(0, h), axis=axis) + hi
+        if folds is not None and axis in folds:
+            add_top, add_bot = folds[axis](lo, hi)
+        else:
+            # lo halo wraps onto the own top edge, hi onto the bottom edge
+            add_top, add_bot = lo, hi
+        top = jnp.take(g, jnp.arange(n - h, n), axis=axis) + add_top
+        bot = jnp.take(g, jnp.arange(0, h), axis=axis) + add_bot
         mid = jnp.take(g, jnp.arange(h, n - h), axis=axis)
         g = jnp.concatenate([bot, mid, top], axis=axis)
     return g
 
 
 def make_lj_force_half(geom: CellGeometry, params: LJParams,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, nb_local=None, exchanges=None,
+                       folds=None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial).
-    Type-uniform parameters only (like the reference's Newton fast path)."""
+    Type-uniform parameters only (like the reference's Newton fast path).
+
+    Sharded (nb_local + exchanges + folds given): the forward halo comes
+    from mesh neighbors via the `exchanges` ppermute hooks and the Newton
+    fold returns j-side accumulations through the `folds` hooks (the
+    reference's MPI halfneigh + ghost_newton path, force_lj.cpp:185-263 +
+    comm.cpp:320-361)."""
     assert params.uniform, "half-neighbor path requires uniform parameters"
-    nbx, nby, nbz = geom.nb
+    nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     C = geom.capacity
     h = halo_extent(geom)
     nb = (nbx, nby, nbz)
@@ -64,7 +84,7 @@ def make_lj_force_half(geom: CellGeometry, params: LJParams,
 
     def _force(x, typ, evflag: bool):
         del typ
-        Xp = to_padded_soa(x, geom, h)
+        Xp = to_padded_soa(x, geom, h, nb_local=nb, exchanges=exchanges)
         Xi = [stencil_slice(g, (0, 0, 0), h, nb) for g in Xp]
 
         f = [jnp.zeros((nbz, nby, nbx, C), dtype) for _ in range(3)]
@@ -113,9 +133,9 @@ def make_lj_force_half(geom: CellGeometry, params: LJParams,
 
         # Newton reverse-communicate: fold halo contributions back
         for c in range(3):
-            f[c] = f[c] + _fold_halo(fpad[c], h)
+            f[c] = f[c] + _fold_halo(fpad[c], h, folds=folds)
 
-        M = geom.nslots
+        M = nbx * nby * nbz * C
         fout = jnp.stack([fc_.reshape(M) for fc_ in f], axis=0)
         # pre-doubled so downstream full-neighbor accounting holds
         return fout, eng * (8.0 * eps), vir

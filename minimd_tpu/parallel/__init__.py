@@ -49,7 +49,7 @@ class ShardedSimulation:
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
                    safe_exchange=False, ntypes: int = 4, backend: str = "auto",
-                   capacity: int | None = None):
+                   capacity: int | None = None, half_neigh: bool = False):
         from .. import create
         from ..config import FORCE_EAM
 
@@ -82,13 +82,13 @@ class ShardedSimulation:
         return ShardedSimulation.from_arrays(
             inp, box.prd, x_np, v_np, typ_np, mass, devices=devices,
             dtype=dtype, nbins=nbins, safe_exchange=safe_exchange,
-            backend=backend, capacity=capacity)
+            backend=backend, capacity=capacity, half_neigh=half_neigh)
 
     @staticmethod
     def from_arrays(inp, prd, x_np, v_np, typ_np, mass, *, devices=None,
                     dtype=None, nbins=None, safe_exchange=False,
                     backend: str = "auto", capacity: int | None = None,
-                    row0=None):
+                    row0=None, half_neigh: bool = False):
         """Build a sharded simulation from explicit state arrays (the
         checkpoint-resume entry; from_input reduces to this after setup)."""
         import jax
@@ -150,14 +150,16 @@ class ShardedSimulation:
                     geom, params, mesh, scales, mass=mass, dt=inp.dt,
                     dtforce=dtforce, natoms=natoms,
                     neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
-                    dtype=dtype, exchange_hops=hops, backend=backend)
+                    dtype=dtype, exchange_hops=hops, backend=backend,
+                    half_neigh=half_neigh)
                 force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
             else:
                 run_fn, _ = make_sharded_eam_run(
                     geom, tables, mesh, scales, mass=mass, dt=inp.dt,
                     dtforce=dtforce, natoms=natoms,
                     neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
-                    dtype=dtype, exchange_hops=hops, backend=backend)
+                    dtype=dtype, exchange_hops=hops, backend=backend,
+                    half_neigh=half_neigh)
                 from ..ops.eam_grid import make_eam_force_grid
                 force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
             return run_fn, force0
@@ -202,7 +204,11 @@ class ShardedSimulation:
         x, v, f, typ, valid, ovf, trace = self.run_fn(*self.arrays, ntimes,
                                                       n0)
         self.arrays = (x, v, f, typ, valid)
-        ovf_move, ovf_cap = int(ovf[0]), int(ovf[1])
+        # ONE host fetch for overflow + trace: every fetch is a full
+        # axon-tunnel roundtrip (~100s of ms), so batching matters more
+        # than the payload size
+        ovf_np, trace = jax.device_get((ovf, trace))
+        ovf_move, ovf_cap = int(ovf_np[0]), int(ovf_np[1])
         if ovf_move > 0:
             # atoms moved farther than the exchange forwards per interval:
             # no capacity can fix that — fail loudly with the remedy the
@@ -227,7 +233,7 @@ class ShardedSimulation:
                   f"{newcap} (migration overflow), replaying interval")
             self._regrow(arrays_before, newcap)
             return self.run(ntimes, n0)
-        return np.asarray(jax.device_get(trace))
+        return np.asarray(trace)
 
     def _regrow(self, arrays, capacity: int):
         """Re-lay the sharded state out with a larger cell capacity (same

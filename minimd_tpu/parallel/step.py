@@ -93,6 +93,39 @@ def _make_exchanges(mesh: Mesh, prd, dtype, h: int, nb_local):
     return exchanges
 
 
+def _make_folds(mesh: Mesh, h: int, nb_local):
+    """Per-grid-axis reverse-communicate hooks for decomposed axes — the
+    adjoint of _make_exchanges, used by the sharded half-neighbor path
+    (ops/lj_half._fold_halo): each device's halo shells carry j-side Newton
+    accumulations that belong to the neighbors those cells came from, so
+    the fold ppermutes them back and the receiver adds them onto its own
+    edges (the reference's reverse_communicate, comm.cpp:320-361).
+
+    fold(lo, hi) -> (add_top, add_bot): what arrives for my top edge is my
+    UPPER neighbor's lo shell (its lo halo holds images of my top cells),
+    and vice versa."""
+    folds = {}
+    lspan = {0: nb_local[2], 1: nb_local[1], 2: nb_local[0]}  # grid axis -> L
+    for grid_axis, name in _AXIS_OF_SPATIAL.items():
+        n = mesh.shape[name]
+        if n == 1:
+            continue  # periodic self-fold handles it
+        assert h <= lspan[grid_axis], (
+            f"half-neighbor reverse fold needs halo <= device span on mesh "
+            f"axis {name!r} (h={h}, span={lspan[grid_axis]}); use full "
+            "stencils (half_neigh=0) when the cutoff exceeds a subdomain")
+
+        def fold(lo, hi, *, name=name, n=n):
+            add_top = jax.lax.ppermute(
+                lo, name, [(i, (i - 1) % n) for i in range(n)])
+            add_bot = jax.lax.ppermute(
+                hi, name, [(i, (i + 1) % n) for i in range(n)])
+            return add_top, add_bot
+
+        folds[grid_axis] = fold
+    return folds
+
+
 def local_grid_shape(geom: CellGeometry, mesh: Mesh):
     nbx, nby, nbz = geom.nb
     px, py, pz = mesh.shape["x"], mesh.shape["y"], mesh.shape["z"]
@@ -180,6 +213,7 @@ def make_sharded_lj_run(
     dtype=jnp.float32,
     exchange_hops: int = 1,
     backend: str = "auto",
+    half_neigh: bool = False,
 ):
     """Full sharded run loop: lax.scan over timesteps with in-scan atom
     migration on the reneighbor cadence (the complete multi-chip analog of
@@ -190,7 +224,13 @@ def make_sharded_lj_run(
     backend: "auto" uses the hand-written Pallas pair kernel per device
     when eligible (f32, uniform types, h == 1, accelerator); "pallas"
     forces it (interpreted on CPU meshes — slow, test-only); "xla" keeps
-    the XLA grid loop."""
+    the XLA grid loop.
+
+    half_neigh: Newton half-stencil parity option (the reference's MPI
+    --half_neigh 1 + ghost-newton path): forward halos as usual, j-side
+    accumulations returned to their owners through _make_folds hooks (the
+    reverse_communicate analog). XLA path only; measured slower on TPU
+    like the single-device half kernels."""
     from .comm import make_exchange_rebin
 
     nb_local = local_grid_shape(geom, mesh)
@@ -209,43 +249,54 @@ def make_sharded_lj_run(
 
     on_cpu = jax.default_backend() == "cpu"
     use_pallas = (backend != "xla" and dtype == jnp.float32
-                  and params.uniform and h == 1
+                  and params.uniform and h == 1 and not half_neigh
                   and (backend == "pallas" or not on_cpu))
     if use_pallas:
         from ..ops.lj_pallas import make_lj_force_pallas
         p_ev, p_noev = make_lj_force_pallas(
             geom, params, dtype=dtype, interpret=on_cpu,
             nb_local=(lx, ly, lz), exchanges=exchanges)
+    if half_neigh:
+        from ..ops.lj_half import make_lj_force_half
+        folds = _make_folds(mesh, h, nb_local)
+        h_ev, h_noev = make_lj_force_half(
+            geom, params, dtype=dtype, nb_local=(lx, ly, lz),
+            exchanges=exchanges, folds=folds)
 
-    def local_force(x_local, typ_local, evflag=True):
-        flat = x_local.reshape(3, -1)
+    def local_force(x_flat, typ_flat, evflag=True):
+        """(3, M_local) flat positions -> (flat forces, eng, vir)."""
+        if half_neigh:
+            return (h_ev if evflag else h_noev)(x_flat, None)
         if use_pallas:
-            f, eng, vir = (p_ev if evflag else p_noev)(flat, None)
-            return f.reshape(3, lz, ly, lx, C), eng, vir
-        Xp = to_padded_soa(flat, geom, h, nb_local=(lx, ly, lz),
+            return (p_ev if evflag else p_noev)(x_flat, None)
+        Xp = to_padded_soa(x_flat, geom, h, nb_local=(lx, ly, lz),
                            exchanges=exchanges)
         Tp = None
         if not params.uniform:
             # per-type tables need the neighbors' types too: same halo
             # hooks, no coordinate shift (the reference ships type with
             # position in border packs, comm.cpp:740-766)
-            Tp = pad_grid_int(typ_local.reshape(-1), geom, h,
+            Tp = pad_grid_int(typ_flat, geom, h,
                               nb_local=(lx, ly, lz), exchanges=exchanges)
         f, eng, vir = lj_pair_loop(Xp, Tp, (lx, ly, lz), geom, params,
                                    dtype, evflag)
-        return jnp.stack(f, axis=0), eng, vir
+        return jnp.stack(f, axis=0).reshape(3, -1), eng, vir
 
     def sharded_scan(x, v, f, typ, valid, n0, ntimes: int):
-        gshape = x.shape
+        # the scan carries FLAT (3, M_local) state: the grid-shaped
+        # (..., C=40) layout pays the T(8,128) minor-dim padding (3.2x
+        # bytes) on every elementwise op plus a relayout copy per reshape
+        # — measured 3.3 vs 2.25 ms/step at 131k on a 1-device mesh.
+        # Grid shapes exist only at the shard_map boundary (the in/out
+        # specs that split the box over the mesh).
+        gshape, g1shape = x.shape, typ.shape
+        x, v, f = x.reshape(3, -1), v.reshape(3, -1), f.reshape(3, -1)
+        typ, valid = typ.reshape(-1), valid.reshape(-1)
 
         def reneigh(args):
             x, v, typ, valid, ovf = args
-            xf, vf, tf, okf, o2 = exchange_rebin(
-                x.reshape(3, -1), v.reshape(3, -1),
-                typ.reshape(-1), valid.reshape(-1))
-            return (xf.reshape(gshape), vf.reshape(gshape),
-                    tf.reshape(gshape[1:]), okf.reshape(gshape[1:]),
-                    ovf + o2)
+            xf, vf, tf, okf, o2 = exchange_rebin(x, v, typ, valid)
+            return (xf, vf, tf, okf, ovf + o2)
 
         def body(carry, n):
             # n is the local 0-based index; g is the global step number so
@@ -306,7 +357,8 @@ def make_sharded_lj_run(
         (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
             body, carry0, jnp.arange(ntimes))
         ovf = jax.lax.psum(ovf, ("z", "y", "x"))
-        return x, v, f, typ, valid, ovf, trace
+        return (x.reshape(gshape), v.reshape(gshape), f.reshape(gshape),
+                typ.reshape(g1shape), valid.reshape(g1shape), ovf, trace)
 
     _cache = {}
 
@@ -341,12 +393,15 @@ def make_sharded_eam_run(
     dtype=jnp.float32,
     exchange_hops: int = 1,
     backend: str = "auto",
+    half_neigh: bool = False,
 ):
     """Sharded EAM run loop. The embedding-derivative halo between the two
     force passes rides the same ppermute hooks as the position halo — the
     reference's mid-force Comm::communicate of fp (force_eam.cpp:851-887),
     which made L3 depend on L0 (SURVEY.md §1); here it is just a second
-    padded-grid fill inside the jitted step."""
+    padded-grid fill inside the jitted step. half_neigh: see
+    make_sharded_lj_run (here it also Newton-folds the pass-1 densities,
+    the rho reverse-comm of force_eam.cpp:918-942)."""
     from .comm import make_exchange_rebin
     from ..ops.eam_grid import make_eam_force_grid
 
@@ -360,8 +415,17 @@ def make_sharded_eam_run(
                                         hops=exchange_hops)
     on_cpu = jax.default_backend() == "cpu"
     use_pallas = (backend != "xla" and dtype == jnp.float32 and h == 1
+                  and not half_neigh
                   and (backend == "pallas" or not on_cpu))
-    if use_pallas:
+    if half_neigh:
+        # Newton half-stencil parity path (force_eam.cpp:126-267 under
+        # MPI): rho and f Newton folds return through _make_folds hooks
+        from ..ops.eam_half import make_eam_force_half
+        folds = _make_folds(mesh, h, nb_local)
+        force_ev, force_noev = make_eam_force_half(
+            geom, tables, dtype=dtype, nb_local=(lx, ly, lz),
+            exchanges=exchanges, folds=folds)
+    elif use_pallas:
         from ..ops.eam_pallas import make_eam_force_pallas
         force_ev, force_noev = make_eam_force_pallas(
             geom, tables, dtype=dtype, interpret=on_cpu,
@@ -376,16 +440,16 @@ def make_sharded_eam_run(
     sharding = NamedSharding(mesh, spec)
 
     def sharded_scan(x, v, f, typ, valid, n0, ntimes: int):
-        gshape = x.shape
+        # FLAT (3, M_local) carry — see the LJ scan above for why (T(8,128)
+        # padding on (..., C) grid shapes + per-step relayout copies)
+        gshape, g1shape = x.shape, typ.shape
+        x, v, f = x.reshape(3, -1), v.reshape(3, -1), f.reshape(3, -1)
+        typ, valid = typ.reshape(-1), valid.reshape(-1)
 
         def reneigh(args):
             x, v, typ, valid, ovf = args
-            xf, vf, tf, okf, o2 = exchange_rebin(
-                x.reshape(3, -1), v.reshape(3, -1),
-                typ.reshape(-1), valid.reshape(-1))
-            return (xf.reshape(gshape), vf.reshape(gshape),
-                    tf.reshape(gshape[1:]), okf.reshape(gshape[1:]),
-                    ovf + o2)
+            xf, vf, tf, okf, o2 = exchange_rebin(x, v, typ, valid)
+            return (xf, vf, tf, okf, ovf + o2)
 
         def body(carry, n):
             # n local, g = n0 + n global (see the LJ loop above)
@@ -404,20 +468,22 @@ def make_sharded_eam_run(
                 ev = ((g + 1) % nstat == 0) | (n == ntimes - 1)
             else:
                 ev = n == ntimes - 1
-            fg, eng, vir = jax.lax.cond(
-                ev, lambda a: force_ev(a, None), _noev,
-                x.reshape(3, -1))
-            f = fg.reshape(gshape)
+            f, eng, vir = jax.lax.cond(
+                ev, lambda a: force_ev(a, None), _noev, x)
             v = v + dtf_c * f
-            eng = jax.lax.psum(eng, ("z", "y", "x"))
-            vir = jax.lax.psum(vir, ("z", "y", "x"))
-            t = jax.lax.psum(jnp.sum(v * v), ("z", "y", "x")) * mass * scales.t_scale
-            u = eng * scales.e_scale / natoms
-            p = (t * scales.dof_boltz + vir) * scales.p_scale
-            row = jnp.stack([t, u, p])
-            # thermo rows only on the nstat cadence (+ final step),
-            # matching the single-device scan and thermo.cpp:61-66
-            row = jnp.where(ev, row, jnp.zeros_like(row))
+
+            # thermo (psums included) only on ev steps — see the LJ scan
+            def _row(v, eng, vir):
+                e = jax.lax.psum(eng, ("z", "y", "x"))
+                w = jax.lax.psum(vir, ("z", "y", "x"))
+                t = (jax.lax.psum(jnp.sum(v * v), ("z", "y", "x"))
+                     * mass * scales.t_scale)
+                u = e * scales.e_scale / natoms
+                p = (t * scales.dof_boltz + w) * scales.p_scale
+                return jnp.stack([t, u, p])
+
+            row = jax.lax.cond(
+                ev, _row, lambda *_a: jnp.zeros((3,), dtype), v, eng, vir)
             return (x, v, f, typ, valid, ovf), row
 
         z0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
@@ -427,7 +493,8 @@ def make_sharded_eam_run(
         (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
             body, carry0, jnp.arange(ntimes))
         ovf = jax.lax.psum(ovf, ("z", "y", "x"))
-        return x, v, f, typ, valid, ovf, trace
+        return (x.reshape(gshape), v.reshape(gshape), f.reshape(gshape),
+                typ.reshape(g1shape), valid.reshape(g1shape), ovf, trace)
 
     _cache = {}
 

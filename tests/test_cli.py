@@ -150,15 +150,28 @@ def test_cli_nstat0_start_end_rows():
     assert abs(float(rows[1].split()[2])) > 1.0
 
 
-def test_cli_sharded_check_exchange_and_half_neigh_notice():
+def test_cli_sharded_check_exchange_and_half_neigh():
     """--check_exchange is routed on the sharded path (drift audit runs);
-    --half_neigh 1 prints an explicit unsupported notice (no silent drop)."""
+    --half_neigh 1 now drives the sharded Newton fold path (step.py
+    _make_folds) instead of being dropped — thermo rows must match the
+    full-stencil sharded run to f32 summation noise."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     out = _run(["-s", "10", "-n", "20", "--devices", "8",
                 "--check_exchange", "--half_neigh", "1"])
-    assert "not supported with --devices" in out
+    assert "not supported" not in out
     assert "PERF_SUMMARY" in out
+    full = _run(["-s", "10", "-n", "20", "--devices", "8"])
+    import re
+
+    def rows(text):
+        # [T, U, P] only — the 4th field is wall-clock
+        return [[float(v) for v in l.split()[1:4]] for l in text.splitlines()
+                if re.match(r"^\d+ -?\d\.\d+e[+-]\d+ ", l)]
+
+    import numpy as np
+    np.testing.assert_allclose(np.array(rows(out)), np.array(rows(full)),
+                               rtol=2e-5, atol=1e-6)
 
 
 def test_cli_eam_half_neigh_runs():

@@ -633,6 +633,100 @@ def test_sharded_pallas_mixed_axis_meshes():
                                rtol=5e-5)
 
 
+def test_sharded_half_neighbor_matches_full():
+    """--half_neigh 1 on the sharded path (the reference's MPI halfneigh +
+    ghost-newton mode): Newton j-side accumulations return to their owners
+    through the _make_folds ppermute hooks (reverse_communicate,
+    comm.cpp:320-361). f64 traces must match the sharded full-stencil
+    path to summation-order noise, on meshes that mix decomposed and
+    wrapped axes (both fold modes in one program)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from minimd_tpu.parallel.step import make_sharded_eam_run, make_sharded_lj_run
+
+    inp = builtin_deck("lj")
+    nx = 16
+    box = create.create_box(nx, nx, nx, inp.rho)
+    x, v = create.create_atoms(nx, nx, nx, inp.rho, box)
+    natoms = len(x)
+    sc = thermo_scales(inp.units, natoms, box.volume)
+    v = create.create_velocity(v, inp.t_request, natoms, 1.0, sc.t_scale)
+    geom = cells.build_geometry(box.prd, inp.neigh_cut, x, nbins=(8, 8, 8))
+    st = init_state(x, v, np.zeros(natoms, np.int32), geom,
+                    dtype=jnp.float64)
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+    f0 = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(
+        st.x, st.typ)[0]
+
+    mesh = make_mesh(jax.devices()[:8], box.prd, (4, 2, 1))
+    nbx, nby, nbz = geom.nb
+    gs = (3, nbz, nby, nbx, geom.capacity)
+    gs1 = (nbz, nby, nbx, geom.capacity)
+    sh1 = NamedSharding(mesh, P("z", "y", "x", None))
+    traces = {}
+    for half in (False, True):
+        run, sharding = make_sharded_lj_run(
+            geom, params, mesh, sc, mass=1.0, dt=inp.dt,
+            dtforce=0.5 * inp.dt, natoms=natoms,
+            neigh_every=inp.neigh_every, nstat=1, dtype=jnp.float64,
+            backend="xla", half_neigh=half)
+        args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
+                for a in (st.x, st.v, f0)]
+        targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
+        varg = jax.device_put(np.asarray(st.valid).reshape(gs1), sh1)
+        *_, ovf, tr = run(*args, targ, varg, 4)
+        assert int(np.asarray(ovf).sum()) == 0
+        traces[half] = np.asarray(tr)
+    np.testing.assert_allclose(traces[True], traces[False],
+                               rtol=1e-12, atol=1e-12)
+
+    from minimd_tpu.ops.eam import EAMTables
+    from minimd_tpu.ops.eam_grid import make_eam_force_grid
+
+    einp = builtin_deck("eam")
+    nx = 12
+    ebox = create.create_box(nx, nx, nx, einp.rho)
+    ex, ev = create.create_atoms(nx, nx, nx, einp.rho, ebox)
+    tables = EAMTables.from_funcfl()
+    esc = thermo_scales(1, len(ex), ebox.volume)
+    ev = create.create_velocity(ev, einp.t_request, len(ex), tables.mass,
+                                esc.t_scale)
+    egeom = cells.build_geometry(ebox.prd, einp.neigh_cut, ex,
+                                 nbins=(6, 6, 6))
+    est = init_state(ex, ev, np.zeros(len(ex), np.int32), egeom,
+                     dtype=jnp.float64)
+    edtf = 0.5 * einp.dt / esc.mvv2e / tables.mass
+    ef0 = jax.jit(make_eam_force_grid(egeom, tables, dtype=jnp.float64)[0])(
+        est.x, est.typ)[0]
+    emesh = make_mesh(jax.devices()[:4], ebox.prd, (1, 2, 2))
+    nbx, nby, nbz = egeom.nb
+    egs = (3, nbz, nby, nbx, egeom.capacity)
+    egs1 = (nbz, nby, nbx, egeom.capacity)
+    esh1 = NamedSharding(emesh, P("z", "y", "x", None))
+    etraces = {}
+    for half in (False, True):
+        run, sharding = make_sharded_eam_run(
+            egeom, tables, emesh, esc, mass=tables.mass, dt=einp.dt,
+            dtforce=edtf, natoms=len(ex), neigh_every=einp.neigh_every,
+            nstat=1, dtype=jnp.float64, backend="xla", half_neigh=half)
+        args = [jax.device_put(np.asarray(a).reshape(egs), sharding)
+                for a in (est.x, est.v, ef0)]
+        targ = jax.device_put(np.asarray(est.typ).reshape(egs1), esh1)
+        varg = jax.device_put(np.asarray(est.valid).reshape(egs1), esh1)
+        *_, ovf, tr = run(*args, targ, varg, 3)
+        assert int(np.asarray(ovf).sum()) == 0
+        etraces[half] = np.asarray(tr)
+    # EAM's Newton folds reorder the f64 rho/force accumulations, so the
+    # traces agree to amplified summation noise, not bit-exactly (measured
+    # T rel diff ~6e-9 after 3 steps)
+    np.testing.assert_allclose(etraces[True][:, 0], etraces[False][:, 0],
+                               rtol=1e-7)
+    np.testing.assert_allclose(etraces[True][:, 1], etraces[False][:, 1],
+                               rtol=1e-7)
+    np.testing.assert_allclose(etraces[True][:, 2], etraces[False][:, 2],
+                               rtol=1e-6)
+
+
 def test_sharded_eam_h2_thick_slab_halo():
     """Sharded EAM on a fine grid (binsize < cutneigh -> h=2 stencil):
     2-cell-thick halo slabs AND the fp mid-force halo at h=2 must
