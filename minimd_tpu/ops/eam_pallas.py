@@ -429,11 +429,18 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         mask = rsq < cutsq
         if dz == 0 and dy == 0:
             mask = mask & ~self_mask_2d()[None, :, :]
-        m = mask.astype(jnp.float32)
         # no masking blend: sentinels are >=1e3 apart (cells.py) so masked
-        # rsq is large-but-finite and the eval clamps keep polys bounded
+        # rsq is large-but-finite and the eval clamps keep polys bounded.
+        # Callers select on the bool mask (1 VPU op) instead of the old
+        # cvt-to-f32 + multiply (2 ops) — bit-identical (values finite).
+        # Negative result (measured 2026-08-17, v5e 131k deck): replacing
+        # the sqrt with a bit-trick rsqrt seed + Newton steps (the LJ
+        # kernel's pl.reciprocal trick has no rsqrt analog in Mosaic) is
+        # SLOWER (13.48-13.80 vs 13.93 Matom-steps/s) and the seed error
+        # through the degree-20 Horner bodies costs 1e-4..4e-2 of force
+        # scale — TPU sqrt is cheap, unlike divide. Don't re-walk.
         r = jnp.sqrt(rsq)
-        return (d0, d1, d2), rsq, r, m
+        return (d0, d1, d2), rsq, r, mask
 
     def rho_kernel(*refs):
         j_refs = refs[0:27]
@@ -445,9 +452,9 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         rho = jnp.zeros((nbx, C), jnp.float32)
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                _, _, r, m = pair_r(j_refs, xi, dz, dy, z, y)
+                _, _, r, mask = pair_r(j_refs, xi, dz, dy, z, y)
                 val = eval_pair_fns(r, polys, ("R",))["R"]
-                rho = rho + jnp.sum(val * m, axis=-1)
+                rho = rho + jnp.sum(jnp.where(mask, val, 0.0), axis=-1)
         rho_ref[0, 0] = rho
 
     def force_kernel(*refs, evflag: bool):
@@ -474,18 +481,20 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
 
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                (d0, d1, d2), rsq, r, m = pair_r(j_refs, xi, dz, dy, z, y)
+                (d0, d1, d2), rsq, r, mask = pair_r(j_refs, xi, dz, dy, z, y)
                 g = eval_pair_fns(r, polys, names)
                 k = (dz + 1) * 3 + (dy + 1)
                 fp_j = fp_refs[k][0, 0][:, None, :]       # (nbx, 1, LANE)
                 psip = (fp_i[:, :, None] + fp_j) * g["G1"] + g["G2"]
-                fpair = -psip * m
-                facc[0] = facc[0] + jnp.sum(fpair * d0, axis=-1)
-                facc[1] = facc[1] + jnp.sum(fpair * d1, axis=-1)
-                facc[2] = facc[2] + jnp.sum(fpair * d2, axis=-1)
+                # fpair = -psip on in-cut lanes; the negation folds into
+                # the accumulating subtractions (a - b == a + (-b) in f32)
+                sel = jnp.where(mask, psip, 0.0)
+                facc[0] = facc[0] - jnp.sum(sel * d0, axis=-1)
+                facc[1] = facc[1] - jnp.sum(sel * d1, axis=-1)
+                facc[2] = facc[2] - jnp.sum(sel * d2, axis=-1)
                 if evflag:
-                    eng = eng + jnp.sum(g["P"] * m)
-                    vir = vir + 0.5 * jnp.sum(rsq * fpair)
+                    eng = eng + jnp.sum(jnp.where(mask, g["P"], 0.0))
+                    vir = vir - 0.5 * jnp.sum(rsq * sel)
 
         f_ref[0, 0, 0] = facc[0]
         f_ref[1, 0, 0] = facc[1]

@@ -42,7 +42,7 @@ def _round_up(n, m):
 
 def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
                          dtype=jnp.float32, interpret: bool = False,
-                         nb_local=None, exchanges=None):
+                         nb_local=None, exchanges=None, recip: str | None = None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial).
 
     One kernel for both the single-device and the sharded path, with a
@@ -54,12 +54,14 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
     to exactly the single-device kernel."""
     return _make_lj_force_pallas_fused(geom, params, dtype=dtype,
                                        interpret=interpret,
-                                       nb_local=nb_local, exchanges=exchanges)
+                                       nb_local=nb_local, exchanges=exchanges,
+                                       recip=recip)
 
 
 def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
                                 dtype=jnp.float32, interpret: bool = False,
-                                nb_local=None, exchanges=None):
+                                nb_local=None, exchanges=None,
+                                recip: str | None = None):
     """Kernel with the halo folded out of the data path. Two pieces:
 
     - XLA prologue: lane-pack candidates [x-1 | x | x+1] straight from the
@@ -98,6 +100,13 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     """
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"
+    if recip is None:
+        # measured precision of the VPU approx reciprocal: ~1.6e-5 raw,
+        # 1.4e-7 (= f32 rounding) after ONE Newton step. The interpret
+        # emulation is coarser (~4e-3 raw), so CPU-mesh tests take a
+        # second step to land back at f32 rounding. "div" keeps the
+        # full-precision divide (debugging escape hatch).
+        recip = "nr2" if interpret else "nr1"
     h = halo_extent(geom)
     assert h == 1, "pallas LJ kernel assumes binsize >= cutneigh (h == 1)"
 
@@ -178,17 +187,28 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
                     rsq_den = rsq + self_eps[None, :, :]
                 else:
                     rsq_den = rsq
-                # mask arithmetic instead of selects: sr2 == 0 for masked
-                # pairs, so sr6/fc/eng terms vanish on their own
-                m = mask.astype(jnp.float32)
-                sr2 = m / rsq_den
+                if recip.startswith("nr"):
+                    # approximate VPU reciprocal + Newton steps (see the
+                    # recip default above) replaces the full-precision
+                    # divide; select-masking replaces the m-cvt +
+                    # multiply (masked lanes: sr2 == 0, so sr6/fc/eng
+                    # terms still vanish on their own)
+                    inv = pl.reciprocal(rsq_den, approx=True)
+                    for _ in range(int(recip[2:])):
+                        inv = inv * (2.0 - rsq_den * inv)
+                    sr2 = jnp.where(mask, inv, 0.0)
+                else:
+                    m = mask.astype(jnp.float32)
+                    sr2 = m / rsq_den
                 sr6 = sr2 * sr2 * sr2 * sig6
-                fc = 48.0 * sr6 * (sr6 - 0.5) * sr2 * eps
+                # constants folded at trace time: 48*eps and 24*eps are
+                # python floats, so fc costs one FMA + two muls
+                fc = (sr6 * (48.0 * eps) - (24.0 * eps)) * sr6 * sr2
                 facc0 = facc0 + jnp.sum(fc * d0, axis=-1)
                 facc1 = facc1 + jnp.sum(fc * d1, axis=-1)
                 facc2 = facc2 + jnp.sum(fc * d2, axis=-1)
                 if evflag:
-                    eng = eng + jnp.sum(sr6 * (sr6 - 1.0) * m)
+                    eng = eng + jnp.sum(sr6 * (sr6 - 1.0))
                     vir = vir + jnp.sum(rsq * fc)
 
         f_ref[0, 0, 0] = facc0

@@ -121,6 +121,12 @@ def main():
         jax.config.update("jax_enable_x64", True)
         precision, backend = 8, "xla"
     else:
+        # remote TPU compiles take minutes; the persistent cache makes
+        # sweep re-runs start in seconds (CLAUDE.md)
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
         precision, backend = 4, "auto"
 
     cases = []

@@ -246,3 +246,51 @@ def test_eam_fused_pallas_kernel_matches_exact():
     fn, en, vn = jax.jit(p_noev)(x32, typ)
     assert np.abs(np.asarray(fn)[:, valid] - fp2).max() == 0.0
     assert float(en) == 0.0 and float(vn) == 0.0
+
+
+def test_embedding_pallas_bit_identical():
+    """make_embedding_pallas must reproduce the XLA spline-gather idiom
+    (force_eam.cpp:337-347 analog) BIT-FOR-BIT: same rows, same arithmetic
+    order — only the gather mechanism differs (128-entry vreg chunks)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from minimd_tpu.ops.eam import EAMTables
+    from minimd_tpu.ops.eam_pallas import make_embedding_pallas
+
+    tables = EAMTables.from_funcfl()
+    rng = np.random.default_rng(7)
+    M = 1000   # deliberately not lane-aligned: exercises the pad path
+    # span the table range incl. the clamp edges (rho < 0, rho >> rhomax)
+    rho = np.concatenate([
+        rng.uniform(0.0, tables.nrho * tables.drho, M - 4),
+        [-1.0, 0.0, tables.nrho * tables.drho * 2, 1e30],
+    ]).astype(np.float32)
+    valid = rng.random(M) < 0.9
+
+    frho_sp = jnp.asarray(tables.frho_spline, dtype=jnp.float32)
+    rdrho = 1.0 / tables.drho
+    nrho = tables.nrho
+
+    def embedding_xla(rho, valid):
+        p = rho * rdrho + 1.0
+        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
+        p = jnp.minimum(p - m.astype(jnp.float32), 1.0)
+        fp = (jnp.take(frho_sp[:, 0], m) * p + jnp.take(frho_sp[:, 1], m)) * p \
+            + jnp.take(frho_sp[:, 2], m)
+        emb = ((jnp.take(frho_sp[:, 3], m) * p + jnp.take(frho_sp[:, 4], m)) * p
+               + jnp.take(frho_sp[:, 5], m)) * p + jnp.take(frho_sp[:, 6], m)
+        return fp, jnp.where(valid, emb, 0.0)
+
+    rho_j = jnp.asarray(rho)
+    valid_j = jnp.asarray(valid)
+    fp_ref, emb_ref = jax.jit(embedding_xla)(rho_j, valid_j)
+
+    embed_noev, embed_ev = make_embedding_pallas(tables, M, interpret=True)
+    fp_n = jax.jit(embed_noev)(rho_j)
+    fp_e, emb_e = jax.jit(embed_ev)(rho_j, valid_j)
+
+    assert np.array_equal(np.asarray(fp_n), np.asarray(fp_ref))
+    assert np.array_equal(np.asarray(fp_e), np.asarray(fp_ref))
+    assert np.array_equal(np.asarray(emb_e), np.asarray(emb_ref))

@@ -211,3 +211,54 @@ def test_run_timed_overflow_grow_and_continue():
     assert int(sim.state.overflow) == 0
     assert int(np.asarray(sim.state.valid).sum()) == sim.natoms
     assert np.all(np.isfinite(trace))
+
+
+def test_lj_fused_pallas_kernel_matches_exact():
+    """Kernel-level parity for the fused single-device LJ Pallas kernel
+    (ops/lj_pallas.py) against the exact dense grid path, interpret mode.
+
+    Covers the reciprocal variants: the full-precision divide ("div")
+    must sit at f32 input-rounding error vs the f64 reference, and the
+    Newton-corrected approximate reciprocal (the TPU production path;
+    "nr2" under interpret, where the reciprocal emulation is coarser)
+    must agree with "div" to f32 rounding of the force scale."""
+    import jax
+
+    from minimd_tpu.ops.lj import LJParams
+    from minimd_tpu.ops.lj_grid import make_lj_force_grid
+    from minimd_tpu.ops.lj_pallas import make_lj_force_pallas
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim.run(5)
+    geom, typ = sim.geom, sim.state.typ
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+    x64 = sim.state.x
+    x32 = x64.astype(jnp.float32)
+
+    fe, ee, ve = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(
+        x64, typ)
+    valid = np.asarray(sim.state.valid)
+    fe_ = np.asarray(fe)[:, valid]
+    scale = np.abs(fe_).max()
+
+    out = {}
+    for recip in ("div", "nr2"):
+        p_ev, p_noev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
+                                            interpret=True, recip=recip)
+        fp_, ep, vp = jax.jit(p_ev)(x32, typ)
+        fp2 = np.asarray(fp_)[:, valid]
+        assert np.abs(fp2 - fe_).max() / scale < 2e-5   # f32 input rounding
+        assert abs(float(ep) - float(ee)) / abs(float(ee)) < 1e-5
+        assert abs(float(vp) - float(ve)) / abs(float(ve)) < 1e-4
+        fn, en, vn = jax.jit(p_noev)(x32, typ)
+        # ev/noev are separately compiled programs; fusion differences put
+        # their forces within f32 rounding, not bit-equal
+        assert np.abs(np.asarray(fn)[:, valid] - fp2).max() / scale < 1e-6
+        assert float(en) == 0.0 and float(vn) == 0.0
+        out[recip] = fp2
+
+    # the NR-corrected approximate reciprocal stays within f32 rounding
+    # of the exact divide (measured 1.4e-7 on TPU hardware after 1 step)
+    assert np.abs(out["nr2"] - out["div"]).max() / scale < 1e-6
