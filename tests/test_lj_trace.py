@@ -262,3 +262,30 @@ def test_lj_fused_pallas_kernel_matches_exact():
     # the NR-corrected approximate reciprocal stays within f32 rounding
     # of the exact divide (measured 1.4e-7 on TPU hardware after 1 step)
     assert np.abs(out["nr2"] - out["div"]).max() / scale < 1e-6
+
+
+def test_lj_gather_variant_matches_grid():
+    """ops/lj.py's cell-chunked gather formulation (the pre-grid design,
+    kept as the bounded-memory fallback) must match the dense grid kernel
+    to f64 rounding on the same state."""
+    import jax
+
+    from minimd_tpu.ops.lj import LJParams, make_lj_force
+    from minimd_tpu.ops.lj_grid import make_lj_force_grid
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    sim.run(5)
+    geom, typ, x = sim.geom, sim.state.typ, sim.state.x
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+
+    fg, eg, vg = jax.jit(make_lj_force_grid(geom, params, dtype=jnp.float64)[0])(x, typ)
+    fc, ec, vc = jax.jit(make_lj_force(geom, params, dtype=jnp.float64))(x, typ)
+
+    valid = np.asarray(sim.state.valid)
+    np.testing.assert_allclose(np.asarray(fc)[:, valid],
+                               np.asarray(fg)[:, valid],
+                               rtol=1e-12, atol=1e-12)
+    assert abs(float(ec) - float(eg)) / abs(float(eg)) < 1e-13
+    assert abs(float(vc) - float(vg)) / abs(float(vg)) < 1e-12
