@@ -420,11 +420,18 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
         k = (dz + 1) * 3 + (dy + 1)
         j0 = j_refs[0 * 9 + k][0, 0][:, None, :]   # (nbx, 1, LANE)
-        j1 = j_refs[1 * 9 + k][0, 0][:, None, :] + ys
-        j2 = j_refs[2 * 9 + k][0, 0][:, None, :] + zs
+        j1 = j_refs[1 * 9 + k][0, 0][:, None, :]
+        j2 = j_refs[2 * 9 + k][0, 0][:, None, :]
+        # periodic image shifts fold into the (nbx, C) xi rows instead of
+        # the (nbx, LANE) candidates — 2 fewer VPU ops per candidate lane
+        # (one f32 rounding apart from xi - (j + s); self pairs sit on the
+        # dz=dy=0 row where both shifts are exactly 0). Same trim as
+        # ops/lj_pallas.py.
+        xi1s = xi[1] if dec_y else xi[1] - ys
+        xi2s = xi[2] if dec_z else xi[2] - zs
         d0 = xi[0][:, :, None] - j0                # (nbx, C, LANE)
-        d1 = xi[1][:, :, None] - j1
-        d2 = xi[2][:, :, None] - j2
+        d1 = xi1s[:, :, None] - j1
+        d2 = xi2s[:, :, None] - j2
         rsq = d0 * d0 + d1 * d1 + d2 * d2
         mask = rsq < cutsq
         if dz == 0 and dy == 0:

@@ -175,11 +175,18 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
                     jnp.where(y + dy >= nby, pry, 0.0)).astype(jnp.float32)
                 k = (dz + 1) * 3 + (dy + 1)
                 j0 = j_refs[0 * 9 + k][0, 0][:, None, :]    # (nbx, 1, LANE)
-                j1 = j_refs[1 * 9 + k][0, 0][:, None, :] + ys
-                j2 = j_refs[2 * 9 + k][0, 0][:, None, :] + zs
+                j1 = j_refs[1 * 9 + k][0, 0][:, None, :]
+                j2 = j_refs[2 * 9 + k][0, 0][:, None, :]
+                # the periodic image shift folds into the (nbx, C) xi row
+                # instead of the (nbx, LANE) candidates — 2 fewer VPU ops
+                # per candidate lane ((xi - s) - j vs xi - (j + s): one f32
+                # rounding apart, physics-identical; self pairs sit on the
+                # dz=dy=0 row where both shifts are exactly 0)
+                xi1s = xi1 if dec_y else xi1 - ys
+                xi2s = xi2 if dec_z else xi2 - zs
                 d0 = xi0[:, :, None] - j0                   # (nbx, C, LANE)
-                d1 = xi1[:, :, None] - j1
-                d2 = xi2[:, :, None] - j2
+                d1 = xi1s[:, :, None] - j1
+                d2 = xi2s[:, :, None] - j2
                 rsq = d0 * d0 + d1 * d1 + d2 * d2
                 mask = rsq < cutsq
                 if dz == 0 and dy == 0:
@@ -200,7 +207,11 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
                 else:
                     m = mask.astype(jnp.float32)
                     sr2 = m / rsq_den
-                sr6 = sr2 * sr2 * sr2 * sig6
+                # sigma == 1 in the shipped LJ decks: skip the sig6 mul
+                # entirely rather than trusting Mosaic to fold *1.0
+                sr6 = sr2 * sr2 * sr2
+                if sig6 != 1.0:
+                    sr6 = sr6 * sig6
                 # constants folded at trace time: 48*eps and 24*eps are
                 # python floats, so fc costs one FMA + two muls
                 fc = (sr6 * (48.0 * eps) - (24.0 * eps)) * sr6 * sr2

@@ -263,6 +263,18 @@ def test_lj_fused_pallas_kernel_matches_exact():
     # of the exact divide (measured 1.4e-7 on TPU hardware after 1 step)
     assert np.abs(out["nr2"] - out["div"]).max() / scale < 1e-6
 
+    # sigma != 1 exercises the kernel's sig6-multiply branch (the shipped
+    # decks all have sigma == 1, where the kernel skips the multiply)
+    params_s = LJParams.from_deck(1, inp.epsilon, 1.1, inp.force_cut)
+    fe_s = jax.jit(make_lj_force_grid(geom, params_s, dtype=jnp.float64)[0])(
+        x64, typ)[0]
+    p_ev_s, _ = make_lj_force_pallas(geom, params_s, dtype=jnp.float32,
+                                     interpret=True, recip="div")
+    fp_s = jax.jit(p_ev_s)(x32, typ)[0]
+    fes_ = np.asarray(fe_s)[:, valid]
+    assert np.abs(np.asarray(fp_s)[:, valid] - fes_).max() \
+        / np.abs(fes_).max() < 2e-5
+
 
 def test_lj_gather_variant_matches_grid():
     """ops/lj.py's cell-chunked gather formulation (the pre-grid design,
