@@ -22,44 +22,10 @@ state evolves between calls). The headline takes the best of two slopes
 """
 
 import json
-import os
-import subprocess
 import sys
 import time
 
-_PROBE = "import jax; jax.devices()"
-
-
-def wait_for_backend(budget_s: float = 2400.0, probe_timeout_s: float = 300.0):
-    """Block until a JAX backend initializes, probing in SUBPROCESSES.
-
-    The axon TPU worker occasionally crashes and takes 15-60 min to recover
-    (CLAUDE.md); during recovery `jax.devices()` either raises UNAVAILABLE
-    or hangs. A failed init is cached for the life of the process by
-    jax.xla_bridge, so the probe must run out-of-process; only once a probe
-    succeeds does this process touch the backend."""
-    t0 = time.time()
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run([sys.executable, "-c", _PROBE],
-                               timeout=probe_timeout_s,
-                               capture_output=True, env=os.environ)
-            if r.returncode == 0:
-                return
-            err = (r.stderr or b"").decode(errors="replace").strip()[-200:]
-        except subprocess.TimeoutExpired:
-            err = f"probe hung > {probe_timeout_s:.0f}s"
-        waited = time.time() - t0
-        if waited > budget_s:
-            print(json.dumps({"error": f"no JAX backend after "
-                              f"{waited:.0f}s: {err}"}))
-            sys.exit(1)
-        print(f"# backend probe {attempt} failed ({err}); retrying "
-              f"({waited:.0f}s elapsed)", file=sys.stderr)
-        time.sleep(60)
-
+from minimd_tpu.backend import wait_for_backend
 
 import jax
 
@@ -125,7 +91,7 @@ def main():
                          "chip)")
     args = ap.parse_args()
 
-    wait_for_backend()
+    wait_for_backend(exit_json=True)
 
     if args.devices:
         ndev = args.devices

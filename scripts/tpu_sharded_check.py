@@ -15,7 +15,11 @@ import sys
 
 sys.path.append(str(pathlib.Path(__file__).resolve().parents[1]))
 
-import jax
+from minimd_tpu.backend import wait_for_backend  # noqa: E402
+
+wait_for_backend()
+
+import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
