@@ -327,10 +327,17 @@ class ShardedSimulation:
 
         ntimes = self.inp.ntimes if ntimes is None else ntimes
         every = self.inp.neigh_every
-        geom, mesh = self.geom, self.mesh
-        dtype = self.arrays[0].dtype
 
-        if not self._timed_cache:
+        def replays():
+            """(Re)build the jitted replay closures for the CURRENT
+            geometry. _regrow (capacity overflow inside self.run) clears
+            _timed_cache, so this must be re-consulted every loop
+            iteration — stale closures capture the old geometry's shapes."""
+            if self._timed_cache:
+                return self._timed_cache
+            geom, mesh = self.geom, self.mesh
+            dtype = self.arrays[0].dtype
+
             from ..ops.pairgrid import halo_extent, to_padded_soa
             from .comm import make_exchange_rebin
             from .step import _make_exchanges, local_grid_shape
@@ -374,17 +381,10 @@ class ShardedSimulation:
             @partial(jax.shard_map, mesh=mesh,
                      in_specs=(spec, spec, spec1, spec1), out_specs=P())
             def neigh_replay(xg, vg, tg, okg):
-                sh = xg.shape
                 xo, *_ = ex_rebin(xg.reshape(3, -1), vg.reshape(3, -1),
                                   tg.reshape(-1), okg.reshape(-1))
                 return jax.lax.psum(jnp.sum(xo), ("z", "y", "x"))
 
-            self._timed_cache.update(comm=comm_replay, neigh=neigh_replay)
-
-        comm_replay = self._timed_cache["comm"]
-        neigh_replay = self._timed_cache["neigh"]
-
-        if check_exchange and "disp" not in self._timed_cache:
             dt_c = self.inp.dt
             dtf_c = self.dtforce
 
@@ -395,9 +395,12 @@ class ShardedSimulation:
                 xn = x + dt_c * (v + dtf_c * f)
                 return jnp.max(jnp.abs(xn - xold))
 
-            self._timed_cache["disp"] = max_disp
+            self._timed_cache.update(comm=comm_replay, neigh=neigh_replay,
+                                     disp=max_disp)
+            return self._timed_cache
         skin_half = 0.5 * (self.inp.neigh_cut - self.inp.force_cut)
         xold = self.arrays[0]
+        geom_at_xold = self.geom
 
         rows = []
         n = 0
@@ -415,16 +418,21 @@ class ShardedSimulation:
                 trace = (self.run(chunk - 1, n0=n) if chunk > 1
                          else np.zeros((0, 3)))
                 x, v, f, typ, valid = self.arrays
-                d = float(self._timed_cache["disp"](x, v, f, xold))
-                if d > skin_half:
-                    print(f"Warning: max per-interval displacement "
-                          f"{d:.4f} exceeds skin/2 = {skin_half:.4f}; "
-                          "pairs may be missed — increase reneighboring "
-                          "frequency or the skin (integrate.cpp:112-151 "
-                          "analog)")
+                if self.geom is geom_at_xold:
+                    # (a capacity regrow inside run() re-sorts slots, so
+                    # the per-slot drift vs xold is meaningless that
+                    # interval — the regrow replayed it anyway)
+                    d = float(replays()["disp"](x, v, f, xold))
+                    if d > skin_half:
+                        print(f"Warning: max per-interval displacement "
+                              f"{d:.4f} exceeds skin/2 = {skin_half:.4f}; "
+                              "pairs may be missed — increase reneighboring "
+                              "frequency or the skin (integrate.cpp:112-151 "
+                              "analog)")
                 trace2 = self.run(1, n0=n + chunk - 1)
                 trace = np.concatenate([trace, trace2], axis=0)
                 xold = self.arrays[0]
+                geom_at_xold = self.geom
             else:
                 trace = self.run(chunk, n0=n)
             t_chunk = _time.time() - t0
@@ -433,13 +441,13 @@ class ShardedSimulation:
 
             x, v, f, typ, valid = self.arrays
             t0 = _time.time()
-            float(comm_replay(x, valid, chunk))   # fetch = sync
+            float(replays()["comm"](x, valid, chunk))   # fetch = sync
             t_comm = _time.time() - t0
             # run(chunk) numbers steps locally, so a migration fired inside
             # the chunk iff it was a full reneigh interval
             t0 = _time.time()
             if chunk == every:
-                float(neigh_replay(x, v, typ, valid))
+                float(replays()["neigh"](x, v, typ, valid))
             t_neigh = _time.time() - t0
 
             timer.array[TIME_COMM] += t_comm

@@ -880,3 +880,37 @@ def test_per_device_statistics_swap_sizes():
         d = stats[f"swap_atoms_{ax}_per_device"]
         # every device ships a nonzero boundary layer in a dense liquid
         assert d["min"] > 0 and d["max"] <= ssim.natoms
+
+
+def test_sharded_run_timed_survives_regrow():
+    """A capacity regrow firing INSIDE run_timed must rebuild the timed
+    replay closures (they capture the geometry's shapes; stale ones crash
+    on the regrown arrays) and finish with atoms conserved."""
+    from minimd_tpu.config import builtin_deck
+    from minimd_tpu.parallel import ShardedSimulation
+    from minimd_tpu.timer import Timer
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 10
+    inp.neigh_every = 5
+    probe = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                         dtype=jnp.float64)
+    C = probe.geom.capacity
+    valid = np.asarray(jax.device_get(probe.arrays[4]))
+    cap = int(valid.reshape(-1, C).sum(axis=1).max())
+
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64, capacity=cap)
+    timer = Timer()
+    trace = ssim.run_timed(timer, 50, check_exchange=True)
+    assert ssim.geom.capacity > cap          # grow fired mid-timed-run
+    valid = np.asarray(jax.device_get(ssim.arrays[4]))
+    assert int(valid.sum()) == ssim.natoms
+    assert np.all(np.isfinite(trace))
+    # physics must match the probe (which had capacity headroom all along).
+    # Only the FINAL row is comparable: the check_exchange path splits each
+    # interval into run(chunk-1)+run(1) and every scan ev-evaluates its own
+    # last step, so the raw trace carries extra nonzero rows at interval
+    # seams (thermo_trace only ever prints nstat-cadence + final rows).
+    tr_ref = probe.run(50)
+    np.testing.assert_allclose(trace[-1], tr_ref[-1], rtol=1e-10)
