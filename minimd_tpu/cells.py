@@ -174,6 +174,18 @@ def pick_capacity(counts: np.ndarray, mean_density_per_cell: float,
     return ((cap + 7) // 8) * 8  # round to sublane multiple
 
 
+# Capacity-growth policy shared by every overflow-recovery path
+# (Simulation.run / Simulation.run_timed / ShardedSimulation.run — the
+# reference's neighbor-bin resize semantics, neighbor.cpp:186-208,241-261).
+MAX_CAPACITY = 4 * 128
+
+
+def next_capacity(capacity: int) -> int:
+    """Geometric growth: each retry recompiles the fused scan (minutes on
+    the remote TPU toolchain), so grow ~25% per retry rather than +8."""
+    return capacity + max(8, capacity // 4)
+
+
 def _best_offsets(x: np.ndarray, prd: np.ndarray, nb: np.ndarray) -> np.ndarray:
     """Per-dimension grid offsets maximizing every atom's clearance from the
     nearest cell boundary.

@@ -54,54 +54,14 @@ def load(path):
 
 
 def resume(path, **sim_kwargs):
-    """Rebuild a Simulation from a checkpoint."""
-    import jax.numpy as jnp
-
-    from . import cells
+    """Rebuild a Simulation from a checkpoint. Keyword arguments are
+    Simulation.from_arrays' (dtype, backend, nbins, capacity, half_neigh,
+    ...), so a resumed run honors the same knobs as a fresh one —
+    including the --backend escape hatch and overflow grow-and-replay."""
     from .sim import Simulation
-    from .state import init_state
-    from .units import thermo_scales
-    from .config import FORCE_LJ, UNITS_METAL
-    from .ops.lj import LJParams
 
     inp, prd, x, v, typ, mass, step, row0 = load(path)
-    dtype = sim_kwargs.pop("dtype", jnp.float32)
-    backend = sim_kwargs.pop("backend", "auto")
-    natoms = len(x)
-
-    geom = cells.build_geometry(prd, inp.neigh_cut, x, **sim_kwargs)
-    scales = thermo_scales(inp.units, natoms, float(np.prod(prd)))
-
-    import jax
-    if inp.forcetype == FORCE_LJ:
-        params = LJParams.from_deck(int(typ.max()) + 1 if len(typ) else 1,
-                                    inp.epsilon, inp.sigma, inp.force_cut)
-        if Simulation._use_pallas(geom, params, dtype, backend):
-            from .ops.lj_pallas import make_lj_force_pallas
-            force_ev, force_noev = make_lj_force_pallas(geom, params, dtype=dtype)
-        else:
-            from .ops.lj_grid import make_lj_force_grid
-            force_ev, force_noev = make_lj_force_grid(geom, params, dtype=dtype)
-    else:
-        from .ops.eam import EAMTables, make_eam_force
-        tables = EAMTables.from_funcfl()
-        if dtype == jnp.float32 and jax.default_backend() != "cpu":
-            from .ops.eam_grid import make_eam_force_grid
-            force_ev, force_noev = make_eam_force_grid(geom, tables, dtype=dtype)
-        else:
-            f = make_eam_force(geom, tables, dtype=dtype)
-            force_ev = force_noev = f
-
-    state = init_state(x, v, typ, geom, dtype=dtype)
-    dtforce = 0.5 * inp.dt
-    if inp.units == UNITS_METAL:
-        dtforce /= scales.mvv2e
-    dtforce /= mass
-
-    sim = Simulation(inp=inp, geom=geom, state=state, scales=scales,
-                     force_fn=force_ev, force_fn_noev=force_noev,
-                     natoms=natoms, mass=mass, dtforce=dtforce, dtype=dtype)
-    sim._compute_initial_force()
+    sim = Simulation.from_arrays(inp, prd, x, v, typ, mass, **sim_kwargs)
     if row0 is not None:
         # continue the original trajectory's thermo provenance: step-0
         # numbering and the conservation ratio baseline belong to the

@@ -170,3 +170,33 @@ def create_velocity(
         t = t_current_global
     factor = np.sqrt(t_request / t)
     return v * factor
+
+
+def setup_system(inp, ntypes: int = 4, potential_path: str | None = None):
+    """Deck -> (prd, x, v, typ, mass): the reference's deterministic setup
+    sequence (ljs.cpp:385-468) — box + FCC lattice (or LAMMPS data file),
+    seeded type assignment, EAM mass from the potential file, COM-zero +
+    rescale velocities for generated systems (setup.cpp:454-494). Shared
+    by Simulation.from_input and ShardedSimulation.from_input so the
+    bit-exact setup lives in exactly one place."""
+    from .config import FORCE_EAM
+
+    if inp.datafile is not None:
+        from .lammps_data import read_lammps_data
+        box, x, v, mass = read_lammps_data(inp.datafile)
+    else:
+        box = create_box(inp.nx, inp.ny, inp.nz, inp.rho)
+        x, v = create_atoms(inp.nx, inp.ny, inp.nz, inp.rho, box)
+        mass = 1.0
+    natoms = len(x)
+    typ = assign_types(natoms, ntypes)
+
+    if inp.forcetype == FORCE_EAM:
+        from .ops.eam import EAMTables
+        mass = EAMTables.from_funcfl(potential_path).mass
+
+    if inp.datafile is None:  # data files carry velocities
+        from .units import thermo_scales
+        scales = thermo_scales(inp.units, natoms, box.volume)
+        v = create_velocity(v, inp.t_request, natoms, mass, scales.t_scale)
+    return box.prd, x, v, typ, mass

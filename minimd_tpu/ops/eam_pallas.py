@@ -387,20 +387,16 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
     C = geom.capacity
     M = nbx * nby * nbz * C
     LANE = _round_up(3 * C, 128)
-    prx, pry, prz = (float(p) for p in geom.prd)
+    _, pry, prz = (float(p) for p in geom.prd)
 
-    # per-axis halo mode: grid ARRAY axes (0=z, 1=y, 2=x) present in
-    # `exchanges` are mesh-decomposed -> materialized neighbor halo;
-    # absent -> periodic wrap in the index maps + in-kernel ±prd shifts
-    exchanges = exchanges or {}
-    dec_z, dec_y, dec_x = (0 in exchanges), (1 in exchanges), (2 in exchanges)
+    # shared fused-halo machinery (per-axis mode flags, candidate pack,
+    # wrapped BlockSpec builder) — see pairgrid.fused_lane_pack
+    from .pairgrid import fused_lane_pack
+    (dec_z, dec_y, dec_x), pack_candidates, wrapped_specs = fused_lane_pack(
+        (nbx, nby, nbz), C, LANE, geom.prd, exchanges, _BIG)
 
     polys = build_pair_polys(tables, degree=degree)
     cutsq = float(tables.cut ** 2)
-
-    frho_sp = jnp.asarray(tables.frho_spline, dtype=dtype)
-    rdrho = 1.0 / tables.drho
-    nrho = tables.nrho
 
     def self_mask_2d():
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
@@ -513,69 +509,6 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             eng_ref[...] += jnp.where(cell, eng, 0.0)
             vir_ref[...] += jnp.where(cell, vir, 0.0)
 
-    def pack_candidates(g, c):
-        """Raw (nbz, nby, nbx, C) grid -> packed candidates [x-1 | x | x+1]
-        with decomposed-axis halos appended; c == 0 gets the x-boundary
-        image fix, c < 0 none (the fp scalar field — the exchange hooks
-        also key their shift on the coordinate dim, so c = -1 ships fp
-        unshifted). Undecomposed x: periodic wrap columns; decomposed x:
-        the two columns come from mesh neighbors. Then decomposed y/z axes
-        concatenate ppermuted rows OF THE PACKED array (y before z,
-        composing corner ghosts like comm.cpp:739-867). Pure slice-concats
-        (see lj_pallas)."""
-        if dec_x:
-            wrap_l, wrap_r = exchanges[2](g, c)
-        else:
-            wrap_l = g[:, :, nbx - 1:]
-            wrap_r = g[:, :, :1]
-            if c == 0:
-                wrap_l = wrap_l - prx
-                wrap_r = wrap_r + prx
-        left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
-        right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
-        parts = [left, g, right]
-        if LANE > 3 * C:
-            parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
-                                  g.dtype))
-        j = jnp.concatenate(parts, axis=-1)
-        for axis in (1, 0):   # y then z: corner ghosts compose dim-by-dim
-            if axis in exchanges:
-                lo, hi = exchanges[axis](j, c)
-                j = jnp.concatenate([lo, j, hi], axis=axis)
-        return j
-
-    def embedding(rho, valid, evflag: bool):
-        p = rho * rdrho + 1.0
-        m = jnp.clip(p.astype(jnp.int32), 1, nrho - 1)
-        p = jnp.minimum(p - m.astype(dtype), 1.0)
-        fp = (jnp.take(frho_sp[:, 0], m) * p + jnp.take(frho_sp[:, 1], m)) * p \
-            + jnp.take(frho_sp[:, 2], m)
-        if evflag:
-            emb = ((jnp.take(frho_sp[:, 3], m) * p + jnp.take(frho_sp[:, 4], m)) * p
-                   + jnp.take(frho_sp[:, 5], m)) * p + jnp.take(frho_sp[:, 6], m)
-            return fp, jnp.sum(jnp.where(valid, emb, 0.0))
-        return fp, jnp.zeros((), dtype)
-
-    # nine (dz, dy) views of each packed array; per-program blocks are
-    # single rows, so VMEM stays constant at any system size. Wrapped axes
-    # index ((z+dz-1) % nbz) into the raw-extent array; halo'd axes index
-    # (z+dz) into the one-row-padded extent.
-    zmap = ((lambda z, dz: z + dz) if dec_z
-            else (lambda z, dz: (z + dz - 1) % nbz))
-    ymap = ((lambda y, dy: y + dy) if dec_y
-            else (lambda y, dy: (y + dy - 1) % nby))
-
-    def wrapped_specs(n_coords):
-        return [
-            pl.BlockSpec((1, 1, nbx, LANE),
-                         functools.partial(
-                             lambda dz, dy, z, y: (zmap(z, dz), ymap(y, dy),
-                                                   0, 0),
-                             dz, dy),
-                         memory_space=pltpu.VMEM)
-            for _c in range(n_coords) for dz in (0, 1, 2) for dy in (0, 1, 2)
-        ]
-
     xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -630,15 +563,12 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
 
             rho = rho_call(*jargs, *g)
             valid = x[0] < 0.5 * _SENTINEL_BASE
-            if embed_noev_p is not None:
-                if evflag:
-                    fp, emb = embed_ev_p(rho.reshape(M), valid)
-                    embed_eng = jnp.sum(emb)
-                else:
-                    fp = embed_noev_p(rho.reshape(M))
-                    embed_eng = jnp.zeros((), dtype)
+            if evflag:
+                fp, emb = embed_ev_p(rho.reshape(M), valid)
+                embed_eng = jnp.sum(emb)
             else:
-                fp, embed_eng = embedding(rho.reshape(M), valid, evflag)
+                fp = embed_noev_p(rho.reshape(M))
+                embed_eng = jnp.zeros((), dtype)
             if fp_exchange is not None:
                 fp = fp_exchange(fp)
             # fp halo: the reference's mid-force communicate — a scalar

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..cells import CellGeometry
 from .lj import LJParams
-from .pairgrid import halo_extent, to_padded_soa
+from .pairgrid import fused_lane_pack, halo_extent
 
 _BIG = 5.0e5  # sentinel coordinate for masked lane padding
 
@@ -117,13 +117,12 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     cutsq = float(params.cutforcesq[0])
     eps = float(params.epsilon[0])
     sig6 = float(params.sigma6[0])
-    prx, pry, prz = (float(p) for p in geom.prd)
+    _, pry, prz = (float(p) for p in geom.prd)
 
-    # per-axis halo mode: grid ARRAY axes (0=z, 1=y, 2=x) present in
-    # `exchanges` are mesh-decomposed -> materialized neighbor halo;
-    # absent -> periodic wrap in the index maps + in-kernel ±prd shifts
-    exchanges = exchanges or {}
-    dec_z, dec_y, dec_x = (0 in exchanges), (1 in exchanges), (2 in exchanges)
+    # shared fused-halo machinery (per-axis mode flags, candidate pack,
+    # wrapped BlockSpec builder) — see pairgrid.fused_lane_pack
+    (dec_z, dec_y, dec_x), pack_candidates, wrapped_specs = fused_lane_pack(
+        (nbx, nby, nbz), C, LANE, geom.prd, exchanges, _BIG)
 
     def kernel(*refs, evflag: bool):
         # refs: 27 packed-candidate rows (coord-major, then (dz, dy)
@@ -235,37 +234,6 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             eng_ref[...] += jnp.where(cell, eng * (4.0 * eps), 0.0)
             vir_ref[...] += jnp.where(cell, vir * 0.5, 0.0)
 
-    def pack_candidates(g, c):
-        """Raw (nbz, nby, nbx, C) coordinate grid -> packed candidates
-        [x-1 | x | x+1] with decomposed-axis halos appended. Undecomposed
-        x: periodic wrap columns with the ±prd image fix on coord 0;
-        decomposed x: the two columns come from mesh neighbors (the hook
-        applies any boundary shift). Then decomposed y/z axes concatenate
-        ppermuted rows OF THE PACKED array (y before z, composing corner
-        ghosts like comm.cpp:739-867). Written as pure slice-concats: a
-        roll+select formulation made XLA spend ~3-4 ops/element on what is
-        a copy (measured 0.47 ms of the 864k step)."""
-        if dec_x:
-            wrap_l, wrap_r = exchanges[2](g, c)
-        else:
-            wrap_l = g[:, :, nbx - 1:]
-            wrap_r = g[:, :, :1]
-            if c == 0:
-                wrap_l = wrap_l - prx
-                wrap_r = wrap_r + prx
-        left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
-        right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
-        parts = [left, g, right]
-        if LANE > 3 * C:
-            parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), _BIG,
-                                  g.dtype))
-        j = jnp.concatenate(parts, axis=-1)
-        for axis in (1, 0):   # y then z: corner ghosts compose dim-by-dim
-            if axis in exchanges:
-                lo, hi = exchanges[axis](j, c)
-                j = jnp.concatenate([lo, j, hi], axis=axis)
-        return j
-
     # inside shard_map, pallas outputs must declare how they vary across
     # the mesh (check_vma); device-local outputs vary over every axis
     _vma = {"vma": frozenset(("z", "y", "x"))} if nb_local is not None else {}
@@ -277,23 +245,7 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             jax.ShapeDtypeStruct((8, 128), jnp.float32, **_vma),
             jax.ShapeDtypeStruct((8, 128), jnp.float32, **_vma),
         )
-        # nine (dz, dy) views of each packed array; per-program blocks are
-        # single rows, so VMEM stays constant at any system size. Wrapped
-        # axes index ((z+dz-1) % nbz) into the raw-extent array; halo'd
-        # axes index (z+dz) into the one-row-padded extent.
-        zmap = ((lambda z, dz: z + dz) if dec_z
-                else (lambda z, dz: (z + dz - 1) % nbz))
-        ymap = ((lambda y, dy: y + dy) if dec_y
-                else (lambda y, dy: (y + dy - 1) % nby))
-        j_specs = [
-            pl.BlockSpec((1, 1, nbx, LANE),
-                         functools.partial(
-                             lambda dz, dy, z, y: (zmap(z, dz), ymap(y, dy),
-                                                   0, 0),
-                             dz, dy),
-                         memory_space=pltpu.VMEM)
-            for _coord in range(3) for dz in (0, 1, 2) for dy in (0, 1, 2)
-        ]
+        j_specs = wrapped_specs(3)
         xi_spec = pl.BlockSpec((1, 1, nbx, C), lambda z, y: (z, y, 0, 0),
                                memory_space=pltpu.VMEM)
         fspec = pl.BlockSpec((3, 1, 1, nbx, C), lambda z, y: (0, z, y, 0, 0),

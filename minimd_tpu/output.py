@@ -102,18 +102,26 @@ def per_device_statistics(ssim) -> dict:
 
     # measured swap sizes: atoms in each device's h-wide boundary slabs per
     # axis — exactly what a halo exchange ships to the two axis neighbors
-    # (the reference's per-swap size stats, output.cpp:496-547)
+    # (the reference's per-swap size stats, output.cpp:496-547). An atom
+    # within h of BOTH faces counts in both slabs: it genuinely ships twice.
+    # Axes the mesh does not decompose ship nothing at all (the periodic
+    # wrap rides the kernel's index maps, parallel/step._make_exchanges),
+    # so they report zero.
     occ = blocks.sum(axis=6)          # (pz, lz, py, ly, px, lx) atoms/cell
     hz = min(h, lz)
     hy = min(h, ly)
     hx = min(h, lx)
+    zeros = np.zeros(pz * py * px, dtype=occ.dtype)
     swaps = {
-        "z": (occ[:, :hz].sum(axis=(1, 3, 5))
-              + occ[:, lz - hz:].sum(axis=(1, 3, 5))).reshape(-1),
-        "y": (occ[:, :, :, :hy].sum(axis=(1, 3, 5))
-              + occ[:, :, :, ly - hy:].sum(axis=(1, 3, 5))).reshape(-1),
-        "x": (occ[..., :hx].sum(axis=(1, 3, 5))
-              + occ[..., lx - hx:].sum(axis=(1, 3, 5))).reshape(-1),
+        "z": ((occ[:, :hz].sum(axis=(1, 3, 5))
+               + occ[:, lz - hz:].sum(axis=(1, 3, 5))).reshape(-1)
+              if pz > 1 else zeros),
+        "y": ((occ[:, :, :, :hy].sum(axis=(1, 3, 5))
+               + occ[:, :, :, ly - hy:].sum(axis=(1, 3, 5))).reshape(-1)
+              if py > 1 else zeros),
+        "x": ((occ[..., :hx].sum(axis=(1, 3, 5))
+               + occ[..., lx - hx:].sum(axis=(1, 3, 5))).reshape(-1)
+              if px > 1 else zeros),
     }
     out = {
         "atoms_per_device": _dist("nlocal", nlocal),

@@ -51,36 +51,12 @@ class ShardedSimulation:
                    safe_exchange=False, ntypes: int = 4, backend: str = "auto",
                    capacity: int | None = None, half_neigh: bool = False):
         from .. import create
-        from ..config import FORCE_EAM
 
-        if inp.datafile is not None:
-            # LAMMPS data-file init (ref setup.cpp:215-301), same reader as
-            # the single-device path
-            from ..lammps_data import read_lammps_data
-            box, x_np, v_np, mass = read_lammps_data(inp.datafile)
-            natoms = len(x_np)
-        else:
-            box = create.create_box(inp.nx, inp.ny, inp.nz, inp.rho)
-            x_np, v_np = create.create_atoms(inp.nx, inp.ny, inp.nz,
-                                             inp.rho, box)
-            natoms = len(x_np)
-            mass = 1.0
-        typ_np = create.assign_types(natoms, ntypes)
-
-        if inp.forcetype == FORCE_EAM:
-            from ..ops.eam import EAMTables
-            mass = EAMTables.from_funcfl().mass
-
-        # data files carry velocities; generated systems get COM-zero +
-        # rescale (setup.cpp:454-494)
-        if inp.datafile is None:
-            from ..units import thermo_scales
-            scales = thermo_scales(inp.units, natoms, box.volume)
-            v_np = create.create_velocity(v_np, inp.t_request, natoms, mass,
-                                          scales.t_scale)
-
+        # the reference's deterministic setup sequence (ljs.cpp:385-468),
+        # shared with the single-device path (create.setup_system)
+        prd, x_np, v_np, typ_np, mass = create.setup_system(inp, ntypes)
         return ShardedSimulation.from_arrays(
-            inp, box.prd, x_np, v_np, typ_np, mass, devices=devices,
+            inp, prd, x_np, v_np, typ_np, mass, devices=devices,
             dtype=dtype, nbins=nbins, safe_exchange=safe_exchange,
             backend=backend, capacity=capacity, half_neigh=half_neigh)
 
@@ -209,6 +185,22 @@ class ShardedSimulation:
         # than the payload size
         ovf_np, trace = jax.device_get((ovf, trace))
         ovf_move, ovf_cap = int(ovf_np[0]), int(ovf_np[1])
+        from ..cells import MAX_CAPACITY, next_capacity
+
+        if ovf_cap > 0 and self._rebuild is not None \
+                and self.geom.capacity < MAX_CAPACITY:
+            # transparent grow-and-retry (the reference's bin-resize
+            # semantics, neighbor.cpp:241-261): the overflowed trajectory
+            # dropped atoms, so restore the pre-dispatch state, rebuild
+            # with more capacity, replay. Checked BEFORE the movement
+            # error: a capacity overflow early in the chunk evolves an
+            # invalid trajectory whose later intervals can show spurious
+            # movement overflow — the replay decides which is real.
+            newcap = next_capacity(self.geom.capacity)
+            print(f"# resize: cell capacity {self.geom.capacity} -> "
+                  f"{newcap} (migration overflow), replaying interval")
+            self._regrow(arrays_before, newcap)
+            return self.run(ntimes, n0)
         if ovf_move > 0:
             # atoms moved farther than the exchange forwards per interval:
             # no capacity can fix that — fail loudly with the remedy the
@@ -219,20 +211,10 @@ class ShardedSimulation:
                 "--safe_exchange (multi-hop migration) or reneighbor more "
                 "often")
         if ovf_cap > 0:
-            # transparent grow-and-retry (the reference's bin-resize
-            # semantics, neighbor.cpp:241-261): the overflowed trajectory
-            # dropped atoms, so restore the pre-dispatch state, rebuild
-            # with more capacity, replay
-            if self._rebuild is None or self.geom.capacity >= 4 * 128:
-                raise RuntimeError(
-                    f"cell capacity overflow: {ovf_cap} atom(s) did not "
-                    f"fit (cell capacity {self.geom.capacity}); rebuild "
-                    "with a larger capacity")
-            newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
-            print(f"# resize: cell capacity {self.geom.capacity} -> "
-                  f"{newcap} (migration overflow), replaying interval")
-            self._regrow(arrays_before, newcap)
-            return self.run(ntimes, n0)
+            raise RuntimeError(
+                f"cell capacity overflow: {ovf_cap} atom(s) did not "
+                f"fit (cell capacity {self.geom.capacity}); rebuild "
+                "with a larger capacity")
         return np.asarray(trace)
 
     def _regrow(self, arrays, capacity: int):

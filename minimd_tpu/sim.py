@@ -64,22 +64,44 @@ class Simulation:
         backend: str = "auto",   # 'auto' | 'pallas' | 'xla'
         half_neigh: bool = False,
     ) -> "Simulation":
-        if inp.datafile is not None:
-            from .lammps_data import read_lammps_data
-            box, x_np, v_np, mass = read_lammps_data(inp.datafile)
-            natoms = len(x_np)
-            typ_np = create.assign_types(natoms, ntypes)
-        else:
-            box = create.create_box(inp.nx, inp.ny, inp.nz, inp.rho)
-            x_np, v_np = create.create_atoms(inp.nx, inp.ny, inp.nz, inp.rho, box)
-            natoms = len(x_np)
-            typ_np = create.assign_types(natoms, ntypes)
-            mass = 1.0
+        prd, x_np, v_np, typ_np, mass = create.setup_system(
+            inp, ntypes, potential_path)
+        return Simulation.from_arrays(
+            inp, prd, x_np, v_np, typ_np, mass, ntypes=ntypes,
+            dtype=dtype, nbins=nbins, capacity=capacity,
+            cell_chunk=cell_chunk, potential_path=potential_path,
+            backend=backend, half_neigh=half_neigh)
+
+    @staticmethod
+    def from_arrays(
+        inp: In,
+        prd,
+        x_np,
+        v_np,
+        typ_np,
+        mass: float,
+        *,
+        ntypes: int | None = None,
+        dtype=jnp.float32,
+        nbins=None,
+        capacity: int | None = None,
+        cell_chunk: int | None = None,
+        potential_path: str | None = None,
+        backend: str = "auto",
+        half_neigh: bool = False,
+    ) -> "Simulation":
+        """Build a Simulation from explicit, final state arrays — the
+        checkpoint-resume entry (from_input reduces to this after setup).
+        Velocities are taken as-is (no COM-zero / rescale). The force
+        backend, half-neighbor, and geometry-pin selection is exactly
+        from_input's, so a resumed run honors the same knobs."""
+        natoms = len(x_np)
+        if ntypes is None:
+            ntypes = int(np.max(typ_np)) + 1 if natoms else 1
 
         # force style: each factory returns (force_ev, force_noev) closures
         if inp.forcetype == FORCE_LJ:
             params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma, inp.force_cut)
-            cutforce = inp.force_cut
 
             def make_force(geom):
                 if half_neigh:
@@ -97,7 +119,6 @@ class Simulation:
             from .ops.eam import EAMTables, make_eam_force
             tables = EAMTables.from_funcfl(potential_path)
             mass = tables.mass
-            cutforce = tables.cut
 
             def make_force(geom):
                 # TPU fast path: Chebyshev pair tables (see ops/eam_grid.py
@@ -138,21 +159,15 @@ class Simulation:
         else:
             raise ValueError(f"unknown forcetype {inp.forcetype}")
 
-        cutneigh = inp.neigh_cut if inp.datafile is None else inp.neigh_cut
         # The shipped EAM decks are solid Cu (600 K start, cooling): vouch
         # crystallinity so commensurate grids get lattice-tight capacity
         # (cells.pick_capacity). Wrong vouches fail loudly via the rebin
         # overflow counter.
         solid = inp.forcetype == FORCE_EAM and inp.datafile is None
-        geom = cells.build_geometry(box.prd, cutneigh, x_np, nbins=nbins,
+        geom = cells.build_geometry(prd, inp.neigh_cut, x_np, nbins=nbins,
                                     capacity=capacity, solid=solid)
-        scales = thermo_scales(inp.units, natoms, box.volume)
-
-        # COM-zero + rescale velocities to t_request (setup.cpp:454-494);
-        # only for generated systems (data files carry velocities).
-        if inp.datafile is None:
-            v_np = create.create_velocity(v_np, inp.t_request, natoms, mass,
-                                          scales.t_scale)
+        scales = thermo_scales(inp.units, natoms,
+                               float(np.prod(np.asarray(prd))))
 
         state = init_state(x_np, v_np, typ_np, geom, dtype=dtype)
 
@@ -385,14 +400,13 @@ class Simulation:
             # resize semantics (neighbor.cpp:186-208): restore the
             # pre-dispatch state (the overflowed trajectory dropped atoms,
             # so it is invalid), rebuild with more capacity, replay
-            if self._make_force is None or self.geom.capacity >= 4 * 128:
+            if (self._make_force is None
+                    or self.geom.capacity >= cells.MAX_CAPACITY):
                 raise RuntimeError(
                     f"cell capacity overflow: {int(self.state.overflow)} "
                     f"atom(s) did not fit (capacity {self.geom.capacity}); "
                     "rebuild with a larger --capacity")
-            # each retry recompiles the fused scan (minutes on the remote
-            # TPU toolchain), so grow geometrically rather than +8 per try
-            newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
+            newcap = cells.next_capacity(self.geom.capacity)
             old_nb, old_cap = self.geom.nb, self.geom.capacity
             self._regrow(s_before, newcap, retune=True)
             print(f"# resize: grid {old_nb} C={old_cap} -> {self.geom.nb} "
@@ -537,12 +551,13 @@ class Simulation:
                     # transparent grow-and-retry, same semantics as run()
                     # (neighbor.cpp:241-261): the host re-layout IS the
                     # rebin, so continue the interval from the regrown state
-                    if self._make_force is None or self.geom.capacity >= 4 * 128:
+                    if (self._make_force is None
+                            or self.geom.capacity >= cells.MAX_CAPACITY):
                         raise RuntimeError(
                             f"cell capacity overflow during timed run "
                             f"(capacity {self.geom.capacity}); rebuild with "
                             "a larger --capacity")
-                    newcap = self.geom.capacity + max(8, self.geom.capacity // 4)
+                    newcap = cells.next_capacity(self.geom.capacity)
                     old_nb, old_cap = self.geom.nb, self.geom.capacity
                     self._regrow(s_pre, newcap, retune=True)
                     print(f"# resize: grid {old_nb} C={old_cap} -> "

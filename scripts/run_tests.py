@@ -76,7 +76,8 @@ def run_case(input_name, size, steps, precision, backend, devices=1,
         if len(jax.devices()) < devices:
             return None, f"only {len(jax.devices())} devices available"
         sim = ShardedSimulation.from_input(inp, devices=jax.devices()[:devices],
-                                           dtype=dtype, backend=backend)
+                                           dtype=dtype, backend=backend,
+                                           half_neigh=half_neigh)
     else:
         sim = Simulation.from_input(inp, dtype=dtype, backend=backend,
                                     half_neigh=half_neigh)
