@@ -153,3 +153,27 @@ def test_momentum_conservation_through_run():
     assert int(sim.state.overflow) == 0
     p1 = np.asarray(sim.state.v).sum(axis=1)
     assert np.all(np.abs(p1) < 1e-9 * vscale * np.sqrt(sim.natoms)), p1
+
+
+def test_velocity_verlet_time_reversibility():
+    """Kick-drift-kick velocity Verlet is exactly time-reversible: negate
+    the velocities after n steps and the trajectory retraces itself. The
+    temperature sequence (slot-permutation invariant, so rebins don't
+    disturb the comparison) must come back in reverse order to f64
+    roundoff — an integrator + reneighboring correctness check anchored
+    to physics, independent of the golden logs."""
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    inp.thermo_nstat = 1          # a thermo row every step
+    n = 40
+    sim = Simulation.from_input(inp, dtype=DT)
+    t0 = sim._row0[1]
+    fwd = np.asarray(sim.run(n))
+
+    sim.state = sim.state._replace(v=-sim.state.v)
+    back = np.asarray(sim.run(n))
+
+    # backward step j lands on forward state n-j: T'_j = T_{n-j}
+    np.testing.assert_allclose(back[:-1, 0], fwd[:-1, 0][::-1], rtol=1e-9)
+    # ... and the final backward step returns to the initial condition
+    assert np.isclose(back[-1, 0], t0, rtol=1e-9)
