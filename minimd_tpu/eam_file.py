@@ -204,6 +204,15 @@ class PairPolys:
             can absorb — this tail IS the reference table, so the break is
             reproduced exactly.
 
+            Per-function flattening (`tail_merged`): when ONE polynomial in
+            t over the whole [split, cut] span evaluates (in f32, against
+            the spline) within the function's overall max_err, the kernel
+            uses it instead — same accuracy, ~5 fewer VPU ops per
+            candidate lane. For Cu_u6 this holds for R/G2/P (their
+            last spline rows are C2-smooth joins) but NOT G1 = rhor'/r,
+            whose second derivative jumps at the interior knot (cubic
+            splines are only C2 in value), so G1 keeps the exact rows.
+
     r < lo clamps to the body edge (no physical pairs there: the shipped
     Cu deck never sees r < 2.3 even at 2x temperature; r >= cut is masked
     by the caller).
@@ -219,6 +228,10 @@ class PairPolys:
     m0: int                 # spline row of the first tail interval
     nrows: int
     tail: dict              # name -> tuple of per-row descending power coeffs
+    # name -> descending coeffs of ONE polynomial in t over [0, nrows]
+    # replacing the row chain (only when its f32 error stays within the
+    # function's overall max_err), else None
+    tail_merged: dict
     max_err: dict           # name -> max |fit - exact| / max|exact|, f32 eval
 
 
@@ -277,7 +290,7 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
     assert abs((m0 - 1) * dr - split) < 1e-9, "split must be a spline knot"
     nrows = int(cut * rdr + 1.0) - m0 + 1   # rows covering [split, cut]
 
-    body, tail, max_err = {}, {}, {}
+    body, tail, tail_merged, max_err = {}, {}, {}, {}
     xs = np.linspace(lo, split, 200001)
     u64 = xs * u_a + u_b
     u32 = u64.astype(np.float32)
@@ -309,6 +322,7 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
         err = np.abs(got - ys).max() / scale
 
         rows = []
+        row_err = 0.0
         for k in range(nrows):
             r0, r1 = (m0 + k - 1) * dr, (m0 + k) * dr
             rs = np.linspace(r0, min(r1, cut), 2001)
@@ -320,14 +334,39 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
             rows.append(rc)
             got = _horner_np(np.asarray(rc, np.float32),
                              t.astype(np.float32)).astype(np.float64)
-            err = max(err, np.abs(got - yr).max() / scale)
+            row_err = max(row_err, np.abs(got - yr).max() / scale)
         tail[name] = tuple(rows)
-        max_err[name] = float(err)
+
+        # try to flatten the row chain into ONE polynomial over the whole
+        # tail span (in t over [0, nrows]) — accepted only when the f32
+        # evaluation error stays within the function's current max_err
+        # (the f32 body Horner already rounds at ~2e-7 of scale, so a
+        # tighter-than-that tail fit cannot worsen anything; see the class
+        # docstring — G1's interior-knot derivative kink keeps the rows)
+        rs = np.linspace(split, cut, 20001)
+        t = rs * rdr + 1.0 - m0
+        yr = fn(rs)
+        tail_merged[name] = None
+        merged_err = row_err
+        for deg in range(tail_degree, 8):
+            mfit = np.polynomial.polynomial.Polynomial.fit(
+                t, yr, deg, domain=[0.0, float(nrows)],
+                window=[0.0, float(nrows)])
+            mc = tuple(float(c) for c in mfit.coef[::-1])
+            got = _horner_np(np.asarray(mc, np.float32),
+                             t.astype(np.float32)).astype(np.float64)
+            e = np.abs(got - yr).max() / scale
+            if e <= max(row_err, err):
+                tail_merged[name] = mc
+                merged_err = e
+                break
+        max_err[name] = float(max(err, merged_err if tail_merged[name]
+                                  is not None else row_err))
 
     return PairPolys(lo=float(lo), split=float(split), cut=float(cut),
                      rdr=float(rdr), u_a=float(u_a), u_b=float(u_b),
                      body=body, m0=m0, nrows=nrows, tail=tail,
-                     max_err=max_err)
+                     tail_merged=tail_merged, max_err=max_err)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,14 +49,22 @@ def eval_pair_fns(r, polys: PairPolys, names):
     # the in_tail select discards.
     t = jnp.minimum(r, polys.cut) * polys.rdr + (1.0 - polys.m0)
     in_tail = r >= polys.split
-    sels = [t < float(k + 1) for k in range(polys.nrows - 1)]
+    sels = None
     out = {}
     for name in names:
         val = horner(u, polys.body[name])
-        tv = horner(t - float(polys.nrows - 1), polys.tail[name][-1])
-        for k in range(polys.nrows - 2, -1, -1):
-            tv = jnp.where(sels[k], horner(t - float(k), polys.tail[name][k]),
-                           tv)
+        merged = polys.tail_merged.get(name)
+        if merged is not None:
+            # flattened tail: one Horner over the whole [split, cut] span
+            # (fit verified at least as tight as the rows — eam_file)
+            tv = horner(t, merged)
+        else:
+            if sels is None:  # row selects, shared by the unmerged names
+                sels = [t < float(k + 1) for k in range(polys.nrows - 1)]
+            tv = horner(t - float(polys.nrows - 1), polys.tail[name][-1])
+            for k in range(polys.nrows - 2, -1, -1):
+                tv = jnp.where(sels[k],
+                               horner(t - float(k), polys.tail[name][k]), tv)
         out[name] = jnp.where(in_tail, tv, val)
     return out
 

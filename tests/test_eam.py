@@ -294,3 +294,40 @@ def test_embedding_pallas_bit_identical():
     assert np.array_equal(np.asarray(fp_n), np.asarray(fp_ref))
     assert np.array_equal(np.asarray(fp_e), np.asarray(fp_ref))
     assert np.array_equal(np.asarray(emb_e), np.asarray(emb_ref))
+
+
+def test_pair_poly_merged_tails():
+    """The flattened single-polynomial tails must (a) be adopted only where
+    they evaluate at least as tightly as the exact spline rows in f32 —
+    G1 = rhor'/r has a second-derivative jump at the interior tail knot
+    (cubic splines are C2 in value only), so it must keep its rows — and
+    (b) track the spline itself within the function's reported max_err
+    across the whole tail span (eam_file.build_pair_polys)."""
+    from minimd_tpu.eam_file import (_horner_np, _spline_deriv, _spline_value,
+                                     build_pair_polys)
+    from minimd_tpu.ops.eam import EAMTables
+
+    tabs = EAMTables.from_funcfl()
+    p = build_pair_polys(tabs)
+    assert p.tail_merged["G1"] is None
+    assert p.tail_merged["R"] is not None
+    assert p.tail_merged["G2"] is not None
+    assert p.tail_merged["P"] is not None
+
+    nr, dr = tabs.nr, tabs.dr
+    rhor, z2r = tabs.rhor_spline, tabs.z2r_spline
+    fns = {
+        "R": lambda r: _spline_value(rhor, nr, dr, r),
+        "G2": lambda r: (_spline_deriv(z2r, nr, dr, r) / r**2
+                         - _spline_value(z2r, nr, dr, r) / r**3),
+        "P": lambda r: _spline_value(z2r, nr, dr, r) / r,
+    }
+    rs = np.linspace(p.split, p.cut, 5001)
+    t = (rs / tabs.dr + 1.0 - p.m0).astype(np.float32)
+    xs_body = np.linspace(p.lo, p.split, 50001)
+    for name, fn in fns.items():
+        exact = fn(rs)
+        scale = max(np.abs(fn(xs_body)).max(), np.abs(exact).max())
+        got = _horner_np(np.asarray(p.tail_merged[name], np.float32),
+                         t).astype(np.float64)
+        assert np.abs(got - exact).max() / scale <= p.max_err[name] * 1.01
