@@ -17,8 +17,11 @@ CPU node (BASELINE.md); the session target is >=2x that per chip.
 
 Methodology (CLAUDE.md): slope between two scan lengths with both lengths
 warmed — cancels dispatch overhead and defeats the axon result cache (the
-state evolves between calls). The headline takes the best of two slopes
-(per-call overhead over the tunnel varies a few percent run to run).
+state evolves between calls). EVERY metric takes the best of three slopes:
+per-call overhead over the tunnel varies a few percent run to run, and a
+single bad interval on a reps=1 companion is exactly how the round-3
+record (BENCH_r03: 42.69 M at 864k) came in ~12% under the same build's
+repeated local measurements (48.2-48.4 M).
 """
 
 import json
@@ -105,9 +108,9 @@ def main():
         }))
         return
 
-    lj131 = throughput("lj", 32, 100, 300, reps=2)
-    lj864 = throughput("lj", 60, 60, 180)
-    eam131 = throughput("eam", 32, 100, 300)
+    lj131 = throughput("lj", 32, 100, 300, reps=3)
+    lj864 = throughput("lj", 60, 60, 180, reps=3)
+    eam131 = throughput("eam", 32, 100, 300, reps=3)
 
     print(json.dumps({
         "metric": "lj_131k_throughput",

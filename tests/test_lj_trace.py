@@ -301,3 +301,26 @@ def test_lj_gather_variant_matches_grid():
                                rtol=1e-12, atol=1e-12)
     assert abs(float(ec) - float(eg)) / abs(float(eg)) < 1e-13
     assert abs(float(vc) - float(vg)) / abs(float(vg)) < 1e-12
+
+
+def test_run_timed_matches_run_program():
+    """--timed must measure the production program (round-3 VERDICT weak
+    #5): thermo reductions gated on the nstat cadence exactly like run()'s
+    fused loop — nstat rows bit-identical, non-nstat rows zeroed, and the
+    subsampled thermo_trace identical up to the trailing recomputed row
+    (separate-dispatch vs fused-scan FMA rounding: ~1 ulp)."""
+    from minimd_tpu.timer import Timer
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 8
+    inp.thermo_nstat = 25
+    a = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    b = Simulation.from_input(inp, dtype=jnp.float64, backend="xla")
+    tr_a = a.run(60)
+    tr_b = b.run_timed(Timer(), 60)
+    for n in (24, 49):          # nstat steps: bit-identical
+        assert np.array_equal(tr_a[n], tr_b[n]), (n, tr_a[n], tr_b[n])
+    assert np.all(tr_b[10] == 0.0)      # non-nstat steps carry no thermo
+    ra, rb = a.thermo_trace(tr_a), b.thermo_trace(tr_b)
+    assert ra[:-1] == rb[:-1]
+    np.testing.assert_allclose(ra[-1], rb[-1], rtol=1e-12)
