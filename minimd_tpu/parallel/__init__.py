@@ -49,24 +49,43 @@ class ShardedSimulation:
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
                    safe_exchange=False, ntypes: int = 4, backend: str = "auto",
-                   capacity: int | None = None, half_neigh: bool = False):
+                   capacity: int | None = None, half_neigh: bool = False,
+                   potential_path: str | None = None,
+                   cell_chunk: int | None = None):
         from .. import create
 
         # the reference's deterministic setup sequence (ljs.cpp:385-468),
         # shared with the single-device path (create.setup_system)
-        prd, x_np, v_np, typ_np, mass = create.setup_system(inp, ntypes)
+        prd, x_np, v_np, typ_np, mass = create.setup_system(
+            inp, ntypes, potential_path)
         return ShardedSimulation.from_arrays(
             inp, prd, x_np, v_np, typ_np, mass, devices=devices,
             dtype=dtype, nbins=nbins, safe_exchange=safe_exchange,
-            backend=backend, capacity=capacity, half_neigh=half_neigh)
+            backend=backend, capacity=capacity, half_neigh=half_neigh,
+            potential_path=potential_path, cell_chunk=cell_chunk)
 
     @staticmethod
     def from_arrays(inp, prd, x_np, v_np, typ_np, mass, *, devices=None,
                     dtype=None, nbins=None, safe_exchange=False,
                     backend: str = "auto", capacity: int | None = None,
-                    row0=None, half_neigh: bool = False):
+                    row0=None, half_neigh: bool = False,
+                    potential_path: str | None = None,
+                    cell_chunk: int | None = None):
         """Build a sharded simulation from explicit state arrays (the
-        checkpoint-resume entry; from_input reduces to this after setup)."""
+        checkpoint-resume entry; from_input reduces to this after setup).
+
+        potential_path selects the EAM funcfl file, same as
+        Simulation.from_input (ref force_eam.cpp:74-79 coeff init).
+        cell_chunk exists only on the single-device exact-spline backend
+        (ops/eam.make_eam_force); every sharded force backend is
+        grid/Pallas-shaped with no chunk dimension, so a non-None value
+        here is a usage error, rejected loudly rather than ignored."""
+        if cell_chunk is not None:
+            raise ValueError(
+                "cell_chunk applies to the single-device exact-spline EAM "
+                "backend only; the sharded force backends (grid/Pallas) "
+                "have no chunk dimension — drop the knob or run "
+                "Simulation.from_input")
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -89,7 +108,7 @@ class ShardedSimulation:
 
         if inp.forcetype == FORCE_EAM:
             from ..ops.eam import EAMTables
-            tables = EAMTables.from_funcfl()
+            tables = EAMTables.from_funcfl(potential_path)
             mass = tables.mass
         else:
             tables = None

@@ -914,3 +914,41 @@ def test_sharded_run_timed_survives_regrow():
     # seams (thermo_trace only ever prints nstat-cadence + final rows).
     tr_ref = probe.run(50)
     np.testing.assert_allclose(trace[-1], tr_ref[-1], rtol=1e-10)
+
+
+def test_sharded_custom_potential_and_cell_chunk_guard(tmp_path):
+    """ShardedSimulation API parity with Simulation (round-3 VERDICT
+    missing #3): potential_path must reach the sharded EAM tables (ref
+    force_eam.cpp:74-79 coeff init), and the cell_chunk knob — which has
+    no sharded backend — must be rejected loudly, not ignored."""
+    from minimd_tpu.eam_file import default_potential_path
+    from minimd_tpu.parallel import ShardedSimulation
+    from minimd_tpu.sim import Simulation
+
+    # a custom potential: the shipped Cu file with a perturbed mass line —
+    # enough to change dtforce and the trajectory if it is actually read
+    src = open(default_potential_path()).read().splitlines(keepends=True)
+    assert "63.550" in src[1]
+    src[1] = src[1].replace("63.550", "70.000")
+    pot = tmp_path / "Cu_custom.eam"
+    pot.write_text("".join(src))
+
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = 8
+    ssim = ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                        dtype=jnp.float64,
+                                        potential_path=str(pot))
+    assert abs(ssim.mass - 70.0) < 1e-12
+    sim = Simulation.from_input(inp, dtype=jnp.float64, backend="xla",
+                                nbins=ssim.geom.nb,
+                                capacity=ssim.geom.capacity,
+                                potential_path=str(pot))
+    tr_s = ssim.run(10)
+    tr_1 = sim.run(10)
+    # sharded grid backend evaluates poly pair tables, the single-device
+    # f64 reference the exact splines: agreement is physics-level, not bit
+    np.testing.assert_allclose(tr_s[:, 0], tr_1[:, 0], rtol=1e-6)
+
+    with pytest.raises(ValueError, match="cell_chunk"):
+        ShardedSimulation.from_input(inp, devices=jax.devices()[:8],
+                                     dtype=jnp.float64, cell_chunk=32)
