@@ -79,8 +79,24 @@ def test_all_shipped_decks_parse_and_run():
     from minimd_tpu.sim import Simulation
 
     here = pathlib.Path(__file__).resolve().parent.parent / "inputs"
-    decks = {p.name: parse_deck(p) for p in sorted(here.glob("in.*"))}
+    decks = {p.name: parse_deck(p)
+             for p in sorted(here.glob("in.*")) if "lammps" not in p.name}
     assert len(decks) == 7
+
+    # LAMMPS cross-check decks (ref/in.*.lammps; SURVEY §5.6): not parsed
+    # by the app — shipped so a real-LAMMPS run of the identical system
+    # can validate traces. Assert the physics knobs match the miniMD decks.
+    lmp = {p.name: p.read_text() for p in sorted(here.glob("in.*.lammps"))}
+    assert sorted(lmp) == ["in.eam-data.lammps", "in.eam.lammps",
+                           "in.lj-data.lammps", "in.lj.lammps"]
+    assert "lattice\t\tfcc 0.8442" in lmp["in.lj.lammps"]
+    assert "pair_style\tlj/cut 2.5" in lmp["in.lj.lammps"]
+    assert "timestep\t0.005" in lmp["in.lj.lammps"]
+    assert "lattice\t\tfcc 3.84406" in lmp["in.eam.lammps"]
+    assert "pair_coeff\t1 1 Cu_u6.eam" in lmp["in.eam.lammps"]
+    assert "velocity\tall create 600 376847 loop geom" in lmp["in.eam.lammps"]
+    for name in ("in.lj-data.lammps", "in.eam-data.lammps"):
+        assert "read_data \t1m.data" in lmp[name]
 
     ecomd = decks["in.eam.miniMD_comd"]
     assert ecomd.forcetype == FORCE_EAM and ecomd.units == 1
