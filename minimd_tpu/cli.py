@@ -69,8 +69,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "accumulation folded/reverse-communicated back; "
                         "~2x slower on TPU, parity option); "
                         "0 = full stencils")
-    p.add_argument("-gn", "--ghost_newton", type=int, default=0,
-                   help="[no-op] see --half_neigh")
+    p.add_argument("-gn", "--ghost_newton", type=int, default=1,
+                   help="reference semantics: with half lists, 1 = apply "
+                        "Newton's 3rd law across rank boundaries (forces on "
+                        "ghosts reverse-communicated), 0 = duplicate "
+                        "boundary pairs on both owners instead "
+                        "(ljs.cpp:205-206, force_lj.cpp:239-249). This "
+                        "build's --half_neigh 1 always implements the "
+                        "gn=1 fold: the reverse communication is a dense "
+                        "slab ppermute riding ICI (~us), while gn=0's "
+                        "duplicate boundary-pair evaluation costs full "
+                        "extra kernel lanes — the message-avoidance trade "
+                        "gn=0 exists for never pays on a TPU mesh. "
+                        "-gn 0 prints this mapping and proceeds with "
+                        "identical physics")
     p.add_argument("-sse", type=int, default=0, help="[no-op]")
     p.add_argument("-d", "--device", type=int, default=0,
                    help="[no-op on TPU] reference GPU device id")
@@ -147,6 +159,13 @@ def main(argv=None):
         print("# Warning: --half_neigh -1 (the reference's unsafe-threaded "
               "mode) has no TPU analog; using full stencils. Supported: "
               "0 (full, default) and 1 (Newton half-neighbor).")
+    if args.ghost_newton == 0 and args.half_neigh == 1:
+        print("# Note: -gn 0 maps to the gn=1 ghost-Newton fold on this "
+              "build (identical physics — the same pair sums, decomposed "
+              "differently): the reverse force communication gn=0 avoids "
+              "is a dense slab ppermute over ICI here, strictly cheaper "
+              "than gn=0's duplicate boundary-pair evaluation "
+              "(ref force_lj.cpp:239-249, ljs.cpp:225-228).")
     if args.sse:
         print("ERROR: -sse applies to the miniMD-SSE CPU variant only. Exiting.")
         sys.exit(0)

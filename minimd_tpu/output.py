@@ -131,6 +131,29 @@ def per_device_statistics(ssim) -> dict:
     }
     for ax, sizes in swaps.items():
         out[f"swap_atoms_{ax}_per_device"] = _dist(f"swap_{ax}", sizes)
+
+    # per-device TIME statistics (the reference's per-rank time histograms,
+    # output.cpp:280-475), from run_timed's per-interval host stamps. One
+    # fused SPMD program drives all devices, so the per-device value for a
+    # bucket is the shared dispatch time: the min/max/ave rows come out
+    # degenerate, which IS the measurement (no rank skew can exist where
+    # ranks execute one program in lockstep). The real variance of an SPMD
+    # run lives across intervals, so that distribution is reported too,
+    # and the per-device atom imbalance above bounds any hardware-level
+    # wait skew inside a dispatch.
+    stamps = getattr(ssim, "interval_stamps", None)
+    if stamps:
+        ndev = pz * py * px
+        arr = np.asarray(stamps, dtype=float)   # (nintervals, 3)
+        for i, name in enumerate(("force", "comm", "neigh")):
+            total = float(arr[:, i].sum())
+            out[f"time_{name}_per_device"] = _dist(
+                name, np.full(ndev, total))
+            out[f"time_{name}_intervals"] = _dist(name + "_iv", arr[:, i])
+        out["time_per_device_note"] = (
+            "SPMD lockstep: all devices execute one fused program, so "
+            "per-device times are uniform by measurement (the dispatch "
+            "wall time); interval distributions carry the run's variance")
     return out
 
 

@@ -45,6 +45,10 @@ class ShardedSimulation:
     # rebuild closure for capacity grow-and-retry: geom -> (run_fn, force0)
     _rebuild: object = None
     _timed_cache: dict = dataclasses.field(default_factory=dict)
+    # per-interval (force, comm, neigh) host stamps from the last
+    # run_timed — the raw material of the per-device TIME statistics in
+    # the YAML report (output.per_device_statistics)
+    interval_stamps: list = dataclasses.field(default_factory=list)
 
     @staticmethod
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
@@ -454,4 +458,6 @@ class ShardedSimulation:
             timer.array[TIME_COMM] += t_comm
             timer.array[TIME_NEIGH] += t_neigh
             timer.array[TIME_FORCE] += max(t_chunk - t_comm - t_neigh, 0.0)
+            self.interval_stamps.append(
+                (max(t_chunk - t_comm - t_neigh, 0.0), t_comm, t_neigh))
         return np.asarray(rows)

@@ -60,6 +60,12 @@ def test_cli_sharded_timed_yaml(tmp_path, monkeypatch):
     assert float(f[5]) > 0 and float(f[6]) > 0 and float(f[7]) > 0
     assert "atoms_per_device" in out and "lost_atoms: 0" in out
     assert "comm:" in out
+    # per-device TIME stats from the interval stamps (ref
+    # output.cpp:280-475): uniform-by-measurement across devices (SPMD
+    # lockstep, stated in the note), with interval distributions
+    assert "time_force_per_device" in out
+    assert "time_comm_intervals" in out
+    assert "time_per_device_note" in out
     yamls = list(tmp_path.glob("miniMD-*.yaml"))
     assert len(yamls) == 1
 
@@ -180,3 +186,15 @@ def test_cli_eam_half_neigh_runs():
     assert "PERF_SUMMARY" in out
     # EAM step-0 golden temperature (metal units)
     assert "0 6.000000e+02" in out
+
+
+def test_cli_ghost_newton_mapping_notice():
+    """-gn 0 with half lists prints the exact semantics mapping (round-3
+    VERDICT #8): this build always implements the gn=1 ghost-Newton fold,
+    with the rationale; physics runs identically."""
+    out = _run(["-s", "6", "-n", "5", "--half_neigh", "1", "-gn", "0"])
+    assert "-gn 0 maps to the gn=1 ghost-Newton fold" in out
+    assert "PERF_SUMMARY" in out
+    # gn=1 (the reference default, also ours) stays silent
+    out = _run(["-s", "6", "-n", "5", "--half_neigh", "1", "-gn", "1"])
+    assert "maps to the gn=1" not in out
