@@ -42,8 +42,12 @@ class ShardedSimulation:
     arrays: tuple   # (x, v, f, typ, valid) device arrays, grid-shaped
     dtforce: float = 0.0
     row0: tuple = (0, 0.0, 0.0, 0.0)   # step-0 thermo (T, U, P)
-    # rebuild closure for capacity grow-and-retry: geom -> (run_fn, force0)
+    # rebuild closure for the grow-and-retry paths:
+    # (geom, buf_cap) -> (run_fn, force0)
     _rebuild: object = None
+    # current migration-buffer capacity (None = per-axis boundary-layer
+    # default; grown on buffer overflow — comm.cpp:887-909 growsend analog)
+    _buf_cap: object = None
     _timed_cache: dict = dataclasses.field(default_factory=dict)
     # per-interval (force, comm, neigh) host stamps from the last
     # run_timed — the raw material of the per-device TIME statistics in
@@ -55,7 +59,8 @@ class ShardedSimulation:
                    safe_exchange=False, ntypes: int = 4, backend: str = "auto",
                    capacity: int | None = None, half_neigh: bool = False,
                    potential_path: str | None = None,
-                   cell_chunk: int | None = None):
+                   cell_chunk: int | None = None,
+                   exchange_buf_cap: int | None = None):
         from .. import create
 
         # the reference's deterministic setup sequence (ljs.cpp:385-468),
@@ -66,7 +71,8 @@ class ShardedSimulation:
             inp, prd, x_np, v_np, typ_np, mass, devices=devices,
             dtype=dtype, nbins=nbins, safe_exchange=safe_exchange,
             backend=backend, capacity=capacity, half_neigh=half_neigh,
-            potential_path=potential_path, cell_chunk=cell_chunk)
+            potential_path=potential_path, cell_chunk=cell_chunk,
+            exchange_buf_cap=exchange_buf_cap)
 
     @staticmethod
     def from_arrays(inp, prd, x_np, v_np, typ_np, mass, *, devices=None,
@@ -74,7 +80,8 @@ class ShardedSimulation:
                     backend: str = "auto", capacity: int | None = None,
                     row0=None, half_neigh: bool = False,
                     potential_path: str | None = None,
-                    cell_chunk: int | None = None):
+                    cell_chunk: int | None = None,
+                    exchange_buf_cap: int | None = None):
         """Build a sharded simulation from explicit state arrays (the
         checkpoint-resume entry; from_input reduces to this after setup).
 
@@ -83,7 +90,11 @@ class ShardedSimulation:
         cell_chunk exists only on the single-device exact-spline backend
         (ops/eam.make_eam_force); every sharded force backend is
         grid/Pallas-shaped with no chunk dimension, so a non-None value
-        here is a usage error, rejected loudly rather than ignored."""
+        here is a usage error, rejected loudly rather than ignored.
+        exchange_buf_cap pins the per-axis migration-buffer capacity
+        (default: one boundary cell layer — the hard hops=1 bound under
+        the skin guarantee); the runner grows it and replays on buffer
+        overflow, the reference's growsend/growrecv (comm.cpp:887-909)."""
         if cell_chunk is not None:
             raise ValueError(
                 "cell_chunk applies to the single-device exact-spline EAM "
@@ -138,10 +149,11 @@ class ShardedSimulation:
         # by the skin-drift bound for normal cadences.
         hops = max(max(mesh.shape.values()) // 2, 1) if safe_exchange else 1
 
-        def rebuild(geom):
+        def rebuild(geom, buf_cap=exchange_buf_cap):
             """(run_fn, force0) for a geometry — reused by the capacity
-            grow-and-retry path (the reference's bin-resize semantics,
-            neighbor.cpp:241-261)."""
+            and migration-buffer grow-and-retry paths (the reference's
+            bin-resize semantics, neighbor.cpp:241-261, and
+            growsend/growrecv, comm.cpp:887-909)."""
             if inp.forcetype == FORCE_LJ:
                 params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma,
                                             inp.force_cut)
@@ -149,7 +161,8 @@ class ShardedSimulation:
                     geom, params, mesh, scales, mass=mass, dt=inp.dt,
                     dtforce=dtforce, natoms=natoms,
                     neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
-                    dtype=dtype, exchange_hops=hops, backend=backend,
+                    dtype=dtype, exchange_hops=hops,
+                    exchange_buf_cap=buf_cap, backend=backend,
                     half_neigh=half_neigh)
                 force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
             else:
@@ -157,7 +170,8 @@ class ShardedSimulation:
                     geom, tables, mesh, scales, mass=mass, dt=inp.dt,
                     dtforce=dtforce, natoms=natoms,
                     neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
-                    dtype=dtype, exchange_hops=hops, backend=backend,
+                    dtype=dtype, exchange_hops=hops,
+                    exchange_buf_cap=buf_cap, backend=backend,
                     half_neigh=half_neigh)
                 from ..ops.eam_grid import make_eam_force_grid
                 force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
@@ -190,7 +204,8 @@ class ShardedSimulation:
         return ShardedSimulation(
             inp=inp, geom=geom, mesh=mesh, run_fn=run_fn, sharding=sharding,
             natoms=natoms, scales=scales, mass=mass, arrays=arrays,
-            dtforce=dtforce, row0=row0, _rebuild=rebuild)
+            dtforce=dtforce, row0=row0, _rebuild=rebuild,
+            _buf_cap=exchange_buf_cap)
 
     def run(self, ntimes: int, n0: int = 0):
         """Run ntimes steps; returns the (ntimes, 3) T/U/P trace. n0 is the
@@ -207,7 +222,8 @@ class ShardedSimulation:
         # axon-tunnel roundtrip (~100s of ms), so batching matters more
         # than the payload size
         ovf_np, trace = jax.device_get((ovf, trace))
-        ovf_move, ovf_cap = int(ovf_np[0]), int(ovf_np[1])
+        ovf_move, ovf_cap, ovf_buf = (int(ovf_np[0]), int(ovf_np[1]),
+                                      int(ovf_np[2]))
         from ..cells import MAX_CAPACITY, next_capacity
 
         if ovf_cap > 0 and self._rebuild is not None \
@@ -224,6 +240,35 @@ class ShardedSimulation:
                   f"{newcap} (migration overflow), replaying interval")
             self._regrow(arrays_before, newcap)
             return self.run(ntimes, n0)
+        if ovf_buf > 0 and self._rebuild is not None:
+            # migration-buffer overflow: leavers beyond the buffer were
+            # DROPPED, so the trajectory is invalid — grow the buffers and
+            # replay from the pre-dispatch state (the reference grows its
+            # send/recv buffers mid-exchange, comm.cpp:887-909; here the
+            # buffer is a static shape, so growth is a rebuild). Only
+            # multi-hop forwarding (--safe_exchange funnels) or an explicit
+            # small exchange_buf_cap can get here: the default cap is the
+            # hops=1 hard bound (one boundary cell layer).
+            nbx, nby, nbz = self.geom.nb
+            lx = nbx // self.mesh.shape["x"]
+            ly = nby // self.mesh.shape["y"]
+            lz = nbz // self.mesh.shape["z"]
+            C = self.geom.capacity
+            base = self._buf_cap or max(ly * lz, lx * lz, lx * ly) * C
+            # the overflow count bounds the shortfall, so one growth step
+            # suffices (vs the reference's incremental BUFFACTOR loop)
+            newbuf = min(max(2 * base, base + ovf_buf), lx * ly * lz * C)
+            if newbuf > base:
+                print(f"# resize: migration buffer {base} -> {newbuf} "
+                      "slots (buffer overflow), replaying interval")
+                self._buf_cap = newbuf
+                self.run_fn, _ = self._rebuild(self.geom, newbuf)
+                self.arrays = arrays_before
+                return self.run(ntimes, n0)
+            raise RuntimeError(
+                f"migration buffer overflow: {ovf_buf} leaver(s) did not "
+                f"fit a device-pool-sized buffer ({base} slots); the "
+                "system is displacing faster than the exchange can ship")
         if ovf_move > 0:
             # atoms moved farther than the exchange forwards per interval:
             # no capacity can fix that — fail loudly with the remedy the
@@ -261,7 +306,7 @@ class ShardedSimulation:
         self.geom = cells.build_geometry(prd, self.inp.neigh_cut, xs,
                                          nbins=self.geom.nb,
                                          capacity=capacity)
-        self.run_fn, force0 = self._rebuild(self.geom)
+        self.run_fn, force0 = self._rebuild(self.geom, self._buf_cap)
         self._timed_cache.clear()
 
         import jax.numpy as jnp

@@ -4,10 +4,11 @@ The reference's `Comm::exchange` (comm.cpp:364-597) walks dimensions in
 order, ships leavers to the +/-1 neighbor, and lets later dimensions carry
 corner movers onward. Here each hop is a ppermute of a fixed-capacity
 leaver buffer; arrivals are appended to a static-shape atom pool, and one
-sort-based local rebin at the end scatters the pool into the device's cell
-block. No dynamic shapes; over-capacity events are counted and the run
-fails loudly (the reference's --safe_exchange concern shows up here as a
-buffer-capacity assertion instead of a multi-hop fallback).
+local rebin at the end places the pool into the device's cell block. No
+dynamic shapes; over-capacity events are counted per class ([movement,
+capacity, buffer]) — the runner grows cell capacity / buffer capacity and
+replays (the reference's growsend/growrecv, comm.cpp:887-909), and raises
+with the --safe_exchange remedy for genuine movement overflow.
 """
 
 from __future__ import annotations
@@ -37,11 +38,13 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
                         buf_cap: int | None = None, hops: int = 1):
     """Returns a function (x, v, typ, valid) -> (x, v, typ, valid, overflow)
     operating on device-local flat arrays inside shard_map. overflow is an
-    int32 (2,) vector [movement, capacity]: movement counts atoms the
-    exchange could not place (buffer overflow or farther than `hops`
-    devices — the reference would silently lose these, comm.cpp:364-597;
-    --safe_exchange raises hops), capacity counts per-cell slot overflow
-    (fixable by growing the cell capacity — neighbor.cpp:241-261).
+    int32 (3,) vector [movement, capacity, buffer]: movement counts atoms
+    farther than `hops` devices from home (the reference would silently
+    lose these, comm.cpp:364-597; --safe_exchange raises hops), capacity
+    counts per-cell slot overflow (fixable by growing the cell capacity —
+    neighbor.cpp:241-261), buffer counts leavers that did not fit the
+    migration buffers (fixable by growing buf_cap — the reference's
+    growsend/growrecv, comm.cpp:887-909; the runner grows and replays).
 
     x rows are positions (may be slightly outside the box), valid marks
     occupied slots. The result is the device's local cell-major block.
@@ -64,13 +67,18 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
 
     # leaver-buffer capacity: a full boundary cell layer is a hard upper
     # bound on who can leave through one face in one reneigh interval
+    # under the skin guarantee (hops == 1). Multi-hop forwarding
+    # (--safe_exchange) has no such bound — funnel traffic from several
+    # devices can transit one hop — so buf_cap overrides the default in
+    # EITHER direction and the runner grows it on buffer overflow (the
+    # reference's growsend/growrecv, comm.cpp:887-909).
     caps = {
         "x": ly * lz * C,
         "y": lx * lz * C,
         "z": lx * ly * C,
     }
     if buf_cap is not None:
-        caps = {k: min(v, buf_cap) for k, v in caps.items()}
+        caps = {k: int(buf_cap) for k in caps}
 
     nb_all = {"x": nbx, "y": nby, "z": nbz}
     dim_of = {"x": 0, "y": 1, "z": 2}
@@ -143,6 +151,7 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
         pool_x, pool_v, pool_t, pool_ok = xw, v, typ, valid
         ovf_move = jnp.zeros((), jnp.int32)
         ovf_cap = jnp.zeros((), jnp.int32)
+        ovf_buf = jnp.zeros((), jnp.int32)
 
         for name in ("x", "y", "z"):
             n = mesh.shape[name]
@@ -179,7 +188,9 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
 
                 blo = pack(leave_lo)
                 bhi = pack(leave_hi)
-                ovf_move = ovf_move + blo[4] + bhi[4]
+                # leavers beyond the buffer are dropped from the pool:
+                # the trajectory is invalid, the runner grows + replays
+                ovf_buf = ovf_buf + blo[4] + bhi[4]
 
                 down = [(i, (i - 1) % n) for i in range(n)]
                 up = [(i, (i + 1) % n) for i in range(n)]
@@ -240,7 +251,8 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
                 pool_t[order], mode="drop")
             new_ok = jnp.zeros((M_local,), bool).at[dest].set(
                 pool_ok[order], mode="drop")
-            return new_x, new_v, new_t, new_ok, jnp.stack([ovf_move, ovf_cap])
+            return new_x, new_v, new_t, new_ok, jnp.stack(
+                [ovf_move, ovf_cap, ovf_buf])
 
         # ---- pull placement (the production path) ----
         # residents: the first M_local pool entries are still
@@ -301,6 +313,7 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
                                           mode="drop")
             new_t = new_t.at[dest].set(pool_t[M_local:][order], mode="drop")
             new_ok = new_ok.at[dest].set(placed, mode="drop")
-        return new_x, new_v, new_t, new_ok, jnp.stack([ovf_move, ovf_cap])
+        return new_x, new_v, new_t, new_ok, jnp.stack(
+            [ovf_move, ovf_cap, ovf_buf])
 
     return exchange_rebin

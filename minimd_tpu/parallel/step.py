@@ -212,6 +212,7 @@ def make_sharded_lj_run(
     nstat: int = 100,
     dtype=jnp.float32,
     exchange_hops: int = 1,
+    exchange_buf_cap: int | None = None,
     backend: str = "auto",
     half_neigh: bool = False,
 ):
@@ -241,7 +242,8 @@ def make_sharded_lj_run(
     dtf_c = jnp.asarray(dtforce, dtype)
     exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
     exchange_rebin = make_exchange_rebin(geom, mesh, dtype,
-                                        hops=exchange_hops)
+                                        hops=exchange_hops,
+                                        buf_cap=exchange_buf_cap)
 
     spec = P(None, "z", "y", "x", None)
     spec1 = P("z", "y", "x", None)
@@ -348,11 +350,11 @@ def make_sharded_lj_run(
             return (x, v, f, typ, valid, ovf), row
 
         # overflow starts device-varying (axis_index) so the cond branches
-        # agree on shard_map's varying-axes typing; (2,) = [movement,
-        # capacity] counts (see comm.make_exchange_rebin)
+        # agree on shard_map's varying-axes typing; (3,) = [movement,
+        # capacity, buffer] counts (see comm.make_exchange_rebin)
         z0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
               + jax.lax.axis_index("x") * 0).astype(jnp.int32)
-        ovf0 = jnp.stack([z0, z0])
+        ovf0 = jnp.stack([z0, z0, z0])
         carry0 = (x, v, f, typ, valid, ovf0)
         (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
             body, carry0, jnp.arange(ntimes))
@@ -392,6 +394,7 @@ def make_sharded_eam_run(
     nstat: int = 100,
     dtype=jnp.float32,
     exchange_hops: int = 1,
+    exchange_buf_cap: int | None = None,
     backend: str = "auto",
     half_neigh: bool = False,
 ):
@@ -412,7 +415,8 @@ def make_sharded_eam_run(
     dtf_c = jnp.asarray(dtforce, dtype)
     exchanges = _make_exchanges(mesh, geom.prd, dtype, h, nb_local)
     exchange_rebin = make_exchange_rebin(geom, mesh, dtype,
-                                        hops=exchange_hops)
+                                        hops=exchange_hops,
+                                        buf_cap=exchange_buf_cap)
     on_cpu = jax.default_backend() == "cpu"
     use_pallas = (backend != "xla" and dtype == jnp.float32 and h == 1
                   and not half_neigh
@@ -488,7 +492,7 @@ def make_sharded_eam_run(
 
         z0 = (jax.lax.axis_index("z") * 0 + jax.lax.axis_index("y") * 0
               + jax.lax.axis_index("x") * 0).astype(jnp.int32)
-        ovf0 = jnp.stack([z0, z0])
+        ovf0 = jnp.stack([z0, z0, z0])
         carry0 = (x, v, f, typ, valid, ovf0)
         (x, v, f, typ, valid, ovf), trace = jax.lax.scan(
             body, carry0, jnp.arange(ntimes))
