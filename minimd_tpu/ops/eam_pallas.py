@@ -43,7 +43,8 @@ def _round_up(n, m):
 def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                           ntypes: int = 1, dtype=jnp.float32,
                           degree: int | None = None, interpret: bool = False,
-                          nb_local=None, exchanges=None, fp_exchange=None):
+                          nb_local=None, exchanges=None, fp_exchange=None,
+                          xi_src: str = "grid"):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
 
     One kernel for both the single-device and the sharded path, with a
@@ -59,7 +60,8 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                                         interpret=interpret,
                                         nb_local=nb_local,
                                         exchanges=exchanges,
-                                        fp_exchange=fp_exchange)
+                                        fp_exchange=fp_exchange,
+                                        xi_src=xi_src)
 
 
 def make_eam_force_pallas_rows(geom: CellGeometry, tables: EAMTables,
@@ -358,7 +360,7 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
                                  degree: int | None = None,
                                  interpret: bool = False,
                                  nb_local=None, exchanges=None,
-                                 fp_exchange=None):
+                                 fp_exchange=None, xi_src: str = "grid"):
     """Fused EAM kernels: periodic z/y wrap in the BlockSpec index maps
     with in-kernel ±prd scalar shifts, candidates packed [x-1 | x | x+1]
     straight from the raw grids by slice-concats (thin wrap-column fix),
@@ -445,13 +447,21 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         r = jnp.sqrt(rsq)
         return (d0, d1, d2), rsq, r, mask
 
+    pack_xi = xi_src == "pack"
+
     def rho_kernel(*refs):
         j_refs = refs[0:27]
-        xi_refs = refs[27:30]
-        rho_ref = refs[30]
+        if pack_xi:
+            # own-row coordinates from the candidate pack's center block
+            # (lanes [C, 2C)) — the raw grids never materialize in HBM
+            rho_ref = refs[27]
+            xi = [j_refs[c * 9 + 4][0, 0][:, C:2 * C] for c in range(3)]
+        else:
+            xi_refs = refs[27:30]
+            rho_ref = refs[30]
+            xi = [xr[0, 0] for xr in xi_refs]
         z = pl.program_id(0)
         y = pl.program_id(1)
-        xi = [xr[0, 0] for xr in xi_refs]
         rho = jnp.zeros((nbx, C), jnp.float32)
         for dz in (-1, 0, 1):
             for dy in (-1, 0, 1):
@@ -463,9 +473,16 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
     def force_kernel(*refs, evflag: bool):
         j_refs = refs[0:27]
         fp_refs = refs[27:36]     # packed fp rows, (dz, dy) wrapped views
-        xi_refs = refs[36:39]
-        fpi_ref = refs[39]        # (1, 1, nbx, C) own fp
-        f_ref, eng_ref, vir_ref = refs[40], refs[41], refs[42]
+        if pack_xi:
+            f_ref, eng_ref, vir_ref = refs[36], refs[37], refs[38]
+            xi = [j_refs[c * 9 + 4][0, 0][:, C:2 * C] for c in range(3)]
+            fp_i = fp_refs[4][0, 0][:, C:2 * C]    # own fp, center block
+        else:
+            xi_refs = refs[36:39]
+            fpi_ref = refs[39]    # (1, 1, nbx, C) own fp
+            f_ref, eng_ref, vir_ref = refs[40], refs[41], refs[42]
+            xi = [xr[0, 0] for xr in xi_refs]
+            fp_i = fpi_ref[0, 0]                   # (nbx, C)
         z = pl.program_id(0)
         y = pl.program_id(1)
 
@@ -473,9 +490,6 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         def _init():
             eng_ref[...] = jnp.zeros((8, 128), jnp.float32)
             vir_ref[...] = jnp.zeros((8, 128), jnp.float32)
-
-        xi = [xr[0, 0] for xr in xi_refs]
-        fp_i = fpi_ref[0, 0]                       # (nbx, C)
 
         facc = [jnp.zeros((nbx, C), jnp.float32) for _ in range(3)]
         eng = jnp.zeros((), jnp.float32)
@@ -519,7 +533,7 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
     rho_call = pl.pallas_call(
         rho_kernel,
         grid=(nbz, nby),
-        in_specs=wrapped_specs(3) + [xi_spec] * 3,
+        in_specs=wrapped_specs(3) + ([] if pack_xi else [xi_spec] * 3),
         out_specs=xi_spec,
         out_shape=jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32,
                                        **_vma),
@@ -542,7 +556,8 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
         force_call = pl.pallas_call(
             functools.partial(force_kernel, evflag=evflag),
             grid=(nbz, nby),
-            in_specs=wrapped_specs(3) + wrapped_specs(1) + [xi_spec] * 4,
+            in_specs=(wrapped_specs(3) + wrapped_specs(1)
+                      + ([] if pack_xi else [xi_spec] * 4)),
             out_specs=(fspec, sspec, sspec),
             out_shape=(
                 jax.ShapeDtypeStruct((3, nbz, nby, nbx, C), jnp.float32,
@@ -561,7 +576,7 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             J = [pack_candidates(g[c], c) for c in range(3)]
             jargs = [J[c] for c in range(3) for _off in range(9)]
 
-            rho = rho_call(*jargs, *g)
+            rho = rho_call(*jargs) if pack_xi else rho_call(*jargs, *g)
             valid = x[0] < 0.5 * _SENTINEL_BASE
             if evflag:
                 fp, emb = embed_ev_p(rho.reshape(M), valid)
@@ -577,7 +592,10 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
             fpg = fp.reshape(nbz, nby, nbx, C)
             FP = pack_candidates(fpg, -1)
 
-            f, eng, vir = force_call(*jargs, *([FP] * 9), *g, fpg)
+            fargs = jargs + [FP] * 9
+            if not pack_xi:
+                fargs = fargs + g + [fpg]
+            f, eng, vir = force_call(*fargs)
             eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
             return f.reshape(3, M), eng_vdwl, jnp.sum(vir)
 

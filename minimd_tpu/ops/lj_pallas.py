@@ -42,7 +42,8 @@ def _round_up(n, m):
 
 def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
                          dtype=jnp.float32, interpret: bool = False,
-                         nb_local=None, exchanges=None, recip: str | None = None):
+                         nb_local=None, exchanges=None, recip: str | None = None,
+                         xi_src: str = "grid"):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng, virial).
 
     One kernel for both the single-device and the sharded path, with a
@@ -55,13 +56,14 @@ def make_lj_force_pallas(geom: CellGeometry, params: LJParams,
     return _make_lj_force_pallas_fused(geom, params, dtype=dtype,
                                        interpret=interpret,
                                        nb_local=nb_local, exchanges=exchanges,
-                                       recip=recip)
+                                       recip=recip, xi_src=xi_src)
 
 
 def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
                                 dtype=jnp.float32, interpret: bool = False,
                                 nb_local=None, exchanges=None,
-                                recip: str | None = None):
+                                recip: str | None = None,
+                                xi_src: str = "grid"):
     """Kernel with the halo folded out of the data path. Two pieces:
 
     - XLA prologue: lane-pack candidates [x-1 | x | x+1] straight from the
@@ -124,14 +126,20 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     (dec_z, dec_y, dec_x), pack_candidates, wrapped_specs = fused_lane_pack(
         (nbx, nby, nbz), C, LANE, geom.prd, exchanges, _BIG)
 
+    pack_xi = xi_src == "pack"
+
     def kernel(*refs, evflag: bool):
         # refs: 27 packed-candidate rows (coord-major, then (dz, dy)
         # row-major), each (1, 1, nbx, LANE) fetched at the wrapped or
-        # halo-padded (z+dz, y+dy) row; 3 xi rows (1, 1, nbx, C); outputs
-        # f (3, 1, 1, nbx, C) and the eng/vir accumulators (8, 128).
+        # halo-padded (z+dz, y+dy) row; then (xi_src == "grid") 3 xi rows
+        # (1, 1, nbx, C); outputs f (3, 1, 1, nbx, C) and the eng/vir
+        # accumulators (8, 128).
         j_refs = refs[0:27]
-        xi_refs = refs[27:30]
-        f_ref, eng_ref, vir_ref = refs[30], refs[31], refs[32]
+        if pack_xi:
+            f_ref, eng_ref, vir_ref = refs[27], refs[28], refs[29]
+        else:
+            xi_refs = refs[27:30]
+            f_ref, eng_ref, vir_ref = refs[30], refs[31], refs[32]
         z = pl.program_id(0)
         y = pl.program_id(1)
 
@@ -140,9 +148,19 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             eng_ref[...] = jnp.zeros((8, 128), jnp.float32)
             vir_ref[...] = jnp.zeros((8, 128), jnp.float32)
 
-        xi0 = xi_refs[0][0, 0]   # (nbx, C)
-        xi1 = xi_refs[1][0, 0]
-        xi2 = xi_refs[2][0, 0]
+        if pack_xi:
+            # own-row coordinates are the candidate pack's center block
+            # (lanes [C, 2C)) of the (dz, dy) == (0, 0) row — the raw
+            # grids never materialize in HBM and the three narrow
+            # (nbx, C) xi DMAs disappear; cost is one static lane-offset
+            # slice per coordinate per program
+            xi0 = j_refs[0 * 9 + 4][0, 0][:, C:2 * C]
+            xi1 = j_refs[1 * 9 + 4][0, 0][:, C:2 * C]
+            xi2 = j_refs[2 * 9 + 4][0, 0][:, C:2 * C]
+        else:
+            xi0 = xi_refs[0][0, 0]   # (nbx, C)
+            xi1 = xi_refs[1][0, 0]
+            xi2 = xi_refs[2][0, 0]
 
         lane_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 1)
         sub_i = jax.lax.broadcasted_iota(jnp.int32, (C, LANE), 0)
@@ -257,7 +275,7 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
         call = pl.pallas_call(
             kfn,
             grid=(nbz, nby),
-            in_specs=j_specs + [xi_spec] * 3,
+            in_specs=j_specs + ([] if pack_xi else [xi_spec] * 3),
             out_specs=(fspec, sspec, sspec),
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
@@ -269,7 +287,9 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             del typ
             g = [x[c].reshape(nbz, nby, nbx, C) for c in range(3)]
             J = [pack_candidates(g[c], c) for c in range(3)]
-            args = [J[c] for c in range(3) for _off in range(9)] + g
+            args = [J[c] for c in range(3) for _off in range(9)]
+            if not pack_xi:
+                args = args + g
             f, eng, vir = call(*args)
             return f.reshape(3, M), jnp.sum(eng), jnp.sum(vir)
 

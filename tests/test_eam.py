@@ -243,6 +243,15 @@ def test_eam_fused_pallas_kernel_matches_exact():
     assert abs(float(ep) - float(ee)) / abs(float(ee)) < 1e-5
     assert abs(float(vp) - float(ve)) / abs(float(ve)) < 1e-4
 
+    # xi_src="pack" (own-row coordinates and own-fp sliced from the
+    # candidate packs' center lanes — no raw grids in HBM) is the same
+    # arithmetic on the same values: bit-identical
+    k_ev, _ = make_eam_force_pallas(geom, tables, dtype=jnp.float32,
+                                    interpret=True, xi_src="pack")
+    fk, ek, vk = jax.jit(k_ev)(x32, typ)
+    assert np.abs(np.asarray(fk)[:, valid] - fp2).max() == 0.0
+    assert float(ek) == float(ep) and float(vk) == float(vp)
+
     fn, en, vn = jax.jit(p_noev)(x32, typ)
     assert np.abs(np.asarray(fn)[:, valid] - fp2).max() == 0.0
     assert float(en) == 0.0 and float(vn) == 0.0

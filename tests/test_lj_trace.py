@@ -263,6 +263,21 @@ def test_lj_fused_pallas_kernel_matches_exact():
     # of the exact divide (measured 1.4e-7 on TPU hardware after 1 step)
     assert np.abs(out["nr2"] - out["div"]).max() / scale < 1e-6
 
+    # xi_src="pack" (own-row coordinates sliced from the candidate pack's
+    # center lanes — the raw grids never materialize in HBM) is the SAME
+    # arithmetic on the same values: bit-identical, not just close
+    k_ev, k_noev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
+                                        interpret=True, recip="div",
+                                        xi_src="pack")
+    fk, ek, vk = jax.jit(k_ev)(x32, typ)
+    assert np.abs(np.asarray(fk)[:, valid] - out["div"]).max() == 0.0
+    fkn = jax.jit(k_noev)(x32, typ)[0]
+    p_noev_d = make_lj_force_pallas(geom, params, dtype=jnp.float32,
+                                    interpret=True, recip="div")[1]
+    fpn = jax.jit(p_noev_d)(x32, typ)[0]
+    assert np.abs(np.asarray(fkn)[:, valid]
+                  - np.asarray(fpn)[:, valid]).max() == 0.0
+
     # sigma != 1 exercises the kernel's sig6-multiply branch (the shipped
     # decks all have sigma == 1, where the kernel skips the multiply)
     params_s = LJParams.from_deck(1, inp.epsilon, 1.1, inp.force_cut)
