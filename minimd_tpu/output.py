@@ -154,6 +154,12 @@ def per_device_statistics(ssim) -> dict:
             "SPMD lockstep: all devices execute one fused program, so "
             "per-device times are uniform by measurement (the dispatch "
             "wall time); interval distributions carry the run's variance")
+        out["time_attribution_note"] = (
+            "comm/neigh are measured-replay ESTIMATES: the production "
+            "chunk fuses exchange+force+migration into one program, so "
+            "the split re-times identical computations outside it "
+            "(good for sanity, not for kernel tuning — see "
+            "ShardedSimulation.run_timed)")
     return out
 
 

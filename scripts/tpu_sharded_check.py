@@ -42,19 +42,54 @@ def check(style, size, steps, tol):
     tr_s = ssim.run(steps)
     tr_1 = sim.run(steps)
     # identical physics, different kernels/summation order: f32 noise
-    # amplifies chaotically, so compare the early deterministic window
-    rel = np.abs(tr_s[:30, 0] - tr_1[:30, 0]) / np.abs(tr_1[:30, 0])
-    print(f"{style} -s {size}: max rel T diff (30 steps) = {rel.max():.2e}")
-    assert rel.max() < tol, f"{style}: sharded/single divergence {rel.max()}"
+    # amplifies chaotically, so compare the early deterministic window.
+    # All three thermo columns: T alone would not catch a sign-flipped
+    # virial (P) or a broken pair-energy accumulator (U).
+    for col, name in ((0, "T"), (1, "U"), (2, "P")):
+        rel = (np.abs(tr_s[:30, col] - tr_1[:30, col])
+               / np.abs(tr_1[:30, col]))
+        print(f"{style} -s {size}: max rel {name} diff (30 steps) = "
+              f"{rel.max():.2e}")
+        assert rel.max() < tol, \
+            f"{style} {name}: sharded/single divergence {rel.max()}"
     r0s, r01 = ssim.row0, sim._row0
-    assert abs(r0s[2] - r01[2]) / abs(r01[2]) < 1e-6, (r0s, r01)
-    return True
+    for col in (1, 2, 3):  # step-0 (T, U, P) near-exact
+        assert abs(r0s[col] - r01[col]) / abs(r01[col]) < 1e-6, (r0s, r01)
+    return ssim, sim
+
+
+def throughput_slope(sim, a=40, b=160):
+    """Matom-steps/s from the slope between two warmed run lengths (the
+    bench.py methodology: cancels the per-call dispatch/fetch overhead,
+    which dominates the sharded runner at small sizes over the tunnel)."""
+    import time
+    sim.run(a)
+    sim.run(b)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); sim.run(a); ta = time.time() - t0
+        t0 = time.time(); sim.run(b); tb = time.time() - t0
+        best = min(best, (tb - ta) / (b - a))
+    return sim.natoms / best / 1e6
 
 
 def main():
     assert jax.default_backend() != "cpu", "this check needs the TPU"
-    check("lj", 16, 60, 1e-3)
+    ssim, sim = check("lj", 16, 60, 1e-3)
     check("eam", 10, 60, 1e-3)
+    # the mesh path must be known-FAST, not just known-correct: on one
+    # chip the sharded program is the single-device program plus
+    # shard_map plumbing + the migration/halo machinery, and should stay
+    # within ~35% of Simulation's per-step slope (measured headroom over
+    # the interval-chunked scan's extra rebin work; a structural
+    # regression — e.g. a halo exchange falling off the fused path —
+    # shows up as 2x+, far outside this band).
+    th_s = throughput_slope(ssim)
+    th_1 = throughput_slope(sim)
+    print(f"throughput lj -s 16: sharded {th_s:.1f} vs single {th_1:.1f} "
+          f"Matom-steps/s (ratio {th_s / th_1:.2f})")
+    assert th_s > 0.65 * th_1, \
+        f"sharded-on-1-chip slope {th_s:.1f} < 65% of Simulation {th_1:.1f}"
     print("PASS: sharded path compiled + ran on TPU, parity with Simulation")
 
 
