@@ -103,12 +103,23 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
     assert params.uniform, "pallas LJ path requires type-uniform parameters"
     assert dtype == jnp.float32, "pallas LJ kernel is f32"
     if recip is None:
-        # measured precision of the VPU approx reciprocal: ~1.6e-5 raw,
-        # 1.4e-7 (= f32 rounding) after ONE Newton step. The interpret
-        # emulation is coarser (~4e-3 raw), so CPU-mesh tests take a
-        # second step to land back at f32 rounding. "div" keeps the
-        # full-precision divide (debugging escape hatch).
-        recip = "nr2" if interpret else "nr1"
+        # measured precision of the VPU approx reciprocal: ~1.6e-5 raw
+        # ("nr0" — max force error 1.02e-4 of scale at the 131k deck),
+        # 9.3e-7 (~f32 rounding) after ONE Newton step ("nr1"). The
+        # Newton step costs 2 of the kernel's ~30 effective VPU slots
+        # per candidate lane: nr0 measured +6.4% whole-step throughput
+        # at 864k (45.39 vs 42.67 Matom-steps/s, 2026-08-19). nr0 is the
+        # TPU production default: it passes the reference's own
+        # statistical acceptance criterion (run_one_test:121-138, the
+        # same bar the reference's f32 build is held to — see
+        # scripts/run_tests.py --tpu) and the trajectory-level force
+        # perturbation is far below the f32 chaos divergence the
+        # criterion already absorbs. Pass recip="nr1" for f32-rounding
+        # forces, "div" for the exact divide (debugging escape hatch).
+        # The interpret emulation of the approx reciprocal is coarser
+        # (~4e-3 raw), so CPU-mesh tests take two steps to land back at
+        # f32 rounding.
+        recip = "nr2" if interpret else "nr0"
     h = halo_extent(geom)
     assert h == 1, "pallas LJ kernel assumes binsize >= cutneigh (h == 1)"
 

@@ -82,7 +82,19 @@ def main():
     ap.add_argument("--n", type=int, default=32)
     args = ap.parse_args()
 
-    if args.style == "lj":
+    if args.style == "lj" and args.n == 60:
+        # 864k rows: the autotuned 33^3 C=40 pays 1.437M slots x 9 x 128
+        # lanes; C=32 grids cut slots 4.5-12.5% (same 128-lane rows,
+        # 3C=96+pad) IF the liquid never pushes a cell past 32 (t=0 FCC
+        # max is exactly 32 on every grid — zero headroom; overflow
+        # regrows to C=40 and the row reports it)
+        rows = [
+            (None, None),          # autotuned: nb=33^3 C=40
+            ((35, 35, 35), 32),    # mean occ 20.2: -4.5% slots
+            ((34, 34, 34), 32),    # mean occ 22.0: -12.5% slots
+            ((34, 34, 34), None),  # finer grid at the safe capacity
+        ]
+    elif args.style == "lj":
         rows = [
             (None, None),        # autotuned: nb=17^3 C=40 at -s 32
             ((19, 19, 19), 32),  # the 4C=128 VERDICT suggestion

@@ -219,9 +219,13 @@ def test_lj_fused_pallas_kernel_matches_exact():
 
     Covers the reciprocal variants: the full-precision divide ("div")
     must sit at f32 input-rounding error vs the f64 reference, and the
-    Newton-corrected approximate reciprocal (the TPU production path;
-    "nr2" under interpret, where the reciprocal emulation is coarser)
-    must agree with "div" to f32 rounding of the force scale."""
+    Newton-corrected approximate reciprocal ("nr2" under interpret,
+    where the reciprocal emulation is coarser) must agree with "div" to
+    f32 rounding of the force scale. The TPU production default is
+    "nr0" (raw approx, 1.02e-4 of force scale, +6.4% at 864k — passes
+    the reference's acceptance criterion; see ops/lj_pallas.py); its
+    hardware LUT is not reproduced by interpret mode, so its accuracy
+    evidence lives in scripts/exp_nr0.py + run_tests --tpu."""
     import jax
 
     from minimd_tpu.ops.lj import LJParams
