@@ -97,6 +97,15 @@ def main():
 
     inp = builtin_deck("eam")
     inp.nx = inp.ny = inp.nz = args.n
+    # Near-zero initial temperature: zeroed evals mean zero forces, and a
+    # thermal system in free flight CLUSTERS (measured: capacity regrow
+    # 40 -> 77 mid-run, which invalidates the cost comparison). The Cu FCC
+    # lattice sits at its equilibrium spacing, so with ~zero velocities
+    # every variant — including `full` — runs the same near-frozen,
+    # lattice-commensurate trajectory at identical occupancy. The scan
+    # carry still evolves bit-by-bit each step (x += v*dt with v ~ 1e-9
+    # of thermal), so the axon result cache can't serve repeats.
+    inp.t_request = 1e-18
 
     rows = [
         ("full", ()),
@@ -113,7 +122,8 @@ def main():
                       f"C={sim.geom.capacity}", flush=True)
             ms = slope_run(sim)  # traces (and compiles) under the patch
         out[tag] = ms
-        print(f"{tag:8s}: {ms:7.3f} ms/step", flush=True)
+        print(f"{tag:8s}: {ms:7.3f} ms/step  (end capacity "
+              f"{sim.geom.capacity})", flush=True)
 
     print(f"\nR eval (rho pass)     : {out['full'] - out['no_R']:.3f} ms")
     print(f"G1+G2 evals (force)   : {out['full'] - out['no_G']:.3f} ms")
