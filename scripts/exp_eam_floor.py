@@ -26,9 +26,14 @@ methodology (a bare force-kernel scan is the known TPU-worker-crash config,
 CLAUDE.md).
 
   full     : production step            (geometry x2 + evals)
-  no_R     : rho's R body+tail skipped  (isolates the R eval)
   no_G     : force's G1+G2 skipped      (isolates the force-pass evals)
   no_eval  : both skipped               -> geometry+reduce+glue floor
+
+(A separate no_R row is NOT runnable: with rho = 0 the embedding
+derivative fp = F'(0) is garbage while G1/G2 still fire, so forces
+explode and the rebin overflows — measured, capacity regrow 40 -> 50.
+It is also redundant: R cost == no_G - no_eval, G cost == full - no_G.
+The three runnable rows are all force-free or equilibrium-frozen.)
 
 geometry-dedup headroom <= (no_eval - glue) / 2 — an upper bound on what
 any fused kernel could recover.
@@ -109,7 +114,6 @@ def main():
 
     rows = [
         ("full", ()),
-        ("no_R", ("R",)),
         ("no_G", ("G1", "G2")),
         ("no_eval", ("R", "G1", "G2", "P")),
     ]
@@ -125,7 +129,7 @@ def main():
         print(f"{tag:8s}: {ms:7.3f} ms/step  (end capacity "
               f"{sim.geom.capacity})", flush=True)
 
-    print(f"\nR eval (rho pass)     : {out['full'] - out['no_R']:.3f} ms")
+    print(f"\nR eval (rho pass)     : {out['no_G'] - out['no_eval']:.3f} ms")
     print(f"G1+G2 evals (force)   : {out['full'] - out['no_G']:.3f} ms")
     print(f"geometry+reduce+glue floor: {out['no_eval']:.3f} ms")
     print(f"=> geometry-dedup headroom <= {out['no_eval'] / 2:.3f} ms "
