@@ -343,3 +343,92 @@ def test_run_timed_matches_run_program():
     ra, rb = a.thermo_trace(tr_a), b.thermo_trace(tr_b)
     assert ra[:-1] == rb[:-1]
     np.testing.assert_allclose(ra[-1], rb[-1], rtol=1e-12)
+
+
+def test_lj_fused_step_kernel_matches_plain():
+    """Fused-STEP kernel parity (ops/lj_step_pallas.py, EXPERIMENTAL —
+    not wired into sim.py yet): seed + N fused invocations must
+    reproduce the plain path's kick/drift/force/kick sequence. The force
+    body, the FMA order of the two kicks, and the pack (a copy) are
+    identical code, so x/w track the plain path to f32 rounding, the
+    emitted J' matches the XLA pack of the emitted x' exactly, and the
+    ev accumulators (eng/vir, and the in-kernel SUM(v^2) that replaces
+    the XLA temperature reduction) match the plain per-step values."""
+    import jax
+
+    from minimd_tpu.ops.lj import LJParams
+    from minimd_tpu.ops.lj_pallas import make_lj_force_pallas
+    from minimd_tpu.ops.lj_step_pallas import make_lj_step_pallas
+    from minimd_tpu.ops.pairgrid import fused_lane_pack
+
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    sim = Simulation.from_input(inp, dtype=jnp.float32, backend="xla")
+    sim.run(3)                       # decorrelate from the lattice
+    geom, typ = sim.geom, sim.state.typ
+    nbx, nby, nbz = geom.nb
+    C = geom.capacity
+    M = nbx * nby * nbz * C
+    params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
+    dt = jnp.asarray(inp.dt, jnp.float32)
+    dtf = jnp.asarray(sim.dtforce, jnp.float32)
+
+    p_ev, p_noev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
+                                        interpret=True)
+    p_ev, p_noev = jax.jit(p_ev), jax.jit(p_noev)
+    x0, v0 = sim.state.x, sim.state.v
+    f0 = p_noev(x0, typ)[0]          # consistent (x, v, f) carry
+
+    # ---- reference: N plain steps (the run() loop's exact sequence) ----
+    N = 4
+    x, v, f = x0, v0, f0
+    engs, virs, vsqs = [], [], []
+    for _n in range(N):
+        v = v + dtf * f
+        x = x + dt * v
+        f, eng, vir = p_ev(x, typ)
+        v = v + dtf * f
+        engs.append(float(eng))
+        virs.append(float(vir))
+        vsqs.append(float(jnp.sum(v * v)))
+    w_ref = np.asarray(v + dtf * f)          # the phase-shift boundary:
+    x_ref = np.asarray(x + dt * (v + dtf * f))   # one more kick + drift
+
+    # ---- fused path: seed + N kernel invocations ----
+    s_ev, s_noev, seed = make_lj_step_pallas(
+        geom, params, float(inp.dt), sim.dtforce, interpret=True)
+    s_ev, s_noev = jax.jit(s_ev), jax.jit(s_noev)
+    J, xg, wg = seed(x0, v0, f0)
+    for n in range(N):
+        J, xg, wg, eng, vir, vsq = s_ev(J, xg, wg)
+        assert abs(float(eng) - engs[n]) / abs(engs[n]) < 1e-5, n
+        assert abs(float(vir) - virs[n]) / abs(virs[n]) < 1e-4, n
+        # summation ORDER differs (in-kernel per-row partials vs one XLA
+        # reduction) — close, not bit-equal
+        assert abs(float(vsq) - vsqs[n]) / vsqs[n] < 1e-5, n
+
+    xf = np.stack([np.asarray(xg[c]).reshape(M) for c in range(3)])
+    wf = np.stack([np.asarray(wg[c]).reshape(M) for c in range(3)])
+    valid = np.asarray(sim.state.valid)
+    xscale = np.abs(x_ref[:, valid]).max()
+    wscale = np.abs(w_ref[:, valid]).max()
+    assert np.abs(xf[:, valid] - x_ref[:, valid]).max() / xscale < 1e-6
+    assert np.abs(wf[:, valid] - w_ref[:, valid]).max() / wscale < 1e-5
+
+    # J' must be exactly the XLA pack of the emitted x' (bit-equal: the
+    # in-kernel rolls/concat copy the same f32 values)
+    LANE = (3 * C + 127) // 128 * 128
+    _dec, pack_candidates, _ws = fused_lane_pack(
+        (nbx, nby, nbz), C, LANE, geom.prd, None, 5.0e5)
+    for c in range(3):
+        jref = np.asarray(pack_candidates(xg[c], c))
+        assert np.array_equal(np.asarray(J[c]), jref), c
+
+    # noev variant: same state evolution (separately compiled: f32
+    # rounding), zero accumulators
+    J2, xg2, wg2 = seed(x0, v0, f0)
+    for _n in range(N):
+        J2, xg2, wg2, eng2, vir2, vsq2 = s_noev(J2, xg2, wg2)
+    assert float(eng2) == 0.0 and float(vir2) == 0.0 and float(vsq2) == 0.0
+    xf2 = np.stack([np.asarray(xg2[c]).reshape(M) for c in range(3)])
+    assert np.abs(xf2[:, valid] - xf[:, valid]).max() / xscale < 1e-6
