@@ -49,13 +49,20 @@ semantics: force_lj.cpp:366-449 (force math), integrate.cpp:38-95
 (kick order), the pack replicates pairgrid.fused_lane_pack's
 pack_candidates bit-for-bit (copies + the boundary image fix).
 
-STATUS: experimental (r4 end). Not yet wired into sim.py; interpret
-parity vs the plain path is tested in tests/test_lj_trace.py. Mosaic
-acceptance of the in-kernel sublane rolls feeding a lane concat is the
-known risk (the r3 PROLOGUE-pack negative was exactly that pattern 9x
-per program per step; this EPILOGUE pack writes each row once) — if the
-concat is rejected or slow, fall back to lane-slice stores into the J'
-ref (see STATUS.md round-5 agenda).
+STATUS: MEASURED NEGATIVE on the r4 v5e toolchain (2026-08-19, 131k
+deck, scripts/exp_fused_step.py). Mosaic accepts the kernel and the
+physics is right (interpret parity + run()-wiring tests pass, on-chip
+sanity checks pass), but the fused step measures ~2.58 ms vs the FULL
+plain production loop's 2.46 — the epilogue costs ~0.3 ms/step at 131k
+against ~0.17 ms of recoverable glue, and the gap only widens at 864k
+(epilogue scales with atoms; glue is ~1 ms of 19). BOTH pack idioms
+measure identically (store 2.581 / concat 2.574), so the cost is not
+the concat relayout but the epilogue's narrow (nbx, C=40) vector work
+(rolls, kick FMAs, 5 output streams) on lanes the force loop never
+touches — consistent with the r3 "narrow row ops are ~3x vreg traffic"
+finding. Kept in-tree, tested and wired behind the opt-in
+Simulation(fused_step=True) flag, for re-measurement as the toolchain
+moves.
 """
 
 from __future__ import annotations
@@ -81,7 +88,7 @@ def _round_up(n, m):
 def make_lj_step_pallas(geom: CellGeometry, params: LJParams,
                         dt: float, dtforce: float,
                         dtype=jnp.float32, interpret: bool = False,
-                        recip: str | None = None):
+                        recip: str | None = None, pack_mode: str = "concat"):
     """Build the fused-step closures.
 
     Returns (step_ev, step_noev, seed):
@@ -121,21 +128,44 @@ def make_lj_step_pallas(geom: CellGeometry, params: LJParams,
     _dec, pack_candidates, wrapped_specs = fused_lane_pack(
         (nbx, nby, nbz), C, LANE, geom.prd, None, _BIG)
 
-    def _pack_row(xp, c):
-        """In-kernel re-pack of one (nbx, C) coordinate row into its
-        (nbx, LANE) candidate layout: [x-1 | x | x+1] via sublane rolls
-        (non-negative shifts), +-prx image fix on the wrap rows for
-        c == 0, _BIG lane padding. Bit-identical to pack_candidates."""
+    def _roll_lr(xp, c):
+        """The [x-1] and [x+1] blocks of the re-pack: sublane rolls
+        (non-negative shifts) + the +-prx image fix on the wrap rows for
+        c == 0. Bit-identical values to pack_candidates' slices."""
         lf = jnp.roll(xp, 1, axis=0)          # row x gets xp[x-1]
         rt = jnp.roll(xp, nbx - 1, axis=0)    # row x gets xp[x+1]
         if c == 0:
             sub = jax.lax.broadcasted_iota(jnp.int32, (nbx, C), 0)
             lf = jnp.where(sub == 0, lf - prx, lf)
             rt = jnp.where(sub == nbx - 1, rt + prx, rt)
-        parts = [lf, xp, rt]
-        if LANE > 3 * C:
-            parts.append(jnp.full((nbx, LANE - 3 * C), _BIG, xp.dtype))
-        return jnp.concatenate(parts, axis=1)
+        return lf, rt
+
+    def _emit_pack(ref, xp, c):
+        """Write the (nbx, LANE) candidate row [x-1 | x | x+1 | _BIG pad]
+        for one coordinate. pack_mode picks the Mosaic idiom:
+
+        - "concat": build the row with one lane concatenate, one store.
+          Measured on v5e at 131k: the fused step runs 2.580 ms vs the
+          plain production loop's 2.468 — the concat of rolled narrow
+          (nbx, 40) vectors costs MORE than the XLA glue the fusion
+          removes (the r3 prologue-pack negative, epilogue edition).
+        - "store": three lane-offset sub-block stores (no concat); lane
+          offsets C and 2C are not 128-aligned, so this probes Mosaic's
+          unaligned masked-store path instead of the concat relayout.
+        """
+        lf, rt = _roll_lr(xp, c)
+        if pack_mode == "concat":
+            parts = [lf, xp, rt]
+            if LANE > 3 * C:
+                parts.append(jnp.full((nbx, LANE - 3 * C), _BIG, xp.dtype))
+            ref[0, 0] = jnp.concatenate(parts, axis=1)
+        else:
+            ref[0, 0, :, 0:C] = lf
+            ref[0, 0, :, C:2 * C] = xp
+            ref[0, 0, :, 2 * C:3 * C] = rt
+            if LANE > 3 * C:
+                ref[0, 0, :, 3 * C:] = jnp.full((nbx, LANE - 3 * C), _BIG,
+                                                xp.dtype)
 
     def kernel(*refs, evflag: bool):
         # refs: 27 packed-candidate rows (coord-major, (dz, dy)
@@ -232,9 +262,9 @@ def make_lj_step_pallas(geom: CellGeometry, params: LJParams,
 
         wp_ref[0, 0, 0], wp_ref[1, 0, 0], wp_ref[2, 0, 0] = nw0, nw1, nw2
         xp_ref[0, 0, 0], xp_ref[1, 0, 0], xp_ref[2, 0, 0] = nx0, nx1, nx2
-        jp_refs[0][0, 0] = _pack_row(nx0, 0)
-        jp_refs[1][0, 0] = _pack_row(nx1, 1)
-        jp_refs[2][0, 0] = _pack_row(nx2, 2)
+        _emit_pack(jp_refs[0], nx0, 0)
+        _emit_pack(jp_refs[1], nx1, 1)
+        _emit_pack(jp_refs[2], nx2, 2)
 
         if evflag:
             vsq = jnp.sum(v0 * v0 + v1 * v1 + v2 * v2)

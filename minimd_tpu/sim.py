@@ -47,6 +47,12 @@ class Simulation:
     _user_nbins: object = None
     _user_capacity: object = None
     _regrows: int = 0
+    # EXPERIMENTAL (r4): run() plain steps through the fused-step kernel
+    # (ops/lj_step_pallas.py) — force + kicks + drift + re-pack in one
+    # Pallas call. Opt-in; measured SLOWER than the plain path at 131k
+    # with both pack idioms (see the module docstring) — kept for
+    # re-measurement as the toolchain moves.
+    _fused_step: bool = False
 
     # ------------------------------------------------------------------
     # construction
@@ -63,6 +69,7 @@ class Simulation:
         potential_path: str | None = None,
         backend: str = "auto",   # 'auto' | 'pallas' | 'xla'
         half_neigh: bool = False,
+        fused_step: bool = False,
     ) -> "Simulation":
         prd, x_np, v_np, typ_np, mass = create.setup_system(
             inp, ntypes, potential_path)
@@ -70,7 +77,7 @@ class Simulation:
             inp, prd, x_np, v_np, typ_np, mass, ntypes=ntypes,
             dtype=dtype, nbins=nbins, capacity=capacity,
             cell_chunk=cell_chunk, potential_path=potential_path,
-            backend=backend, half_neigh=half_neigh)
+            backend=backend, half_neigh=half_neigh, fused_step=fused_step)
 
     @staticmethod
     def from_arrays(
@@ -89,6 +96,7 @@ class Simulation:
         potential_path: str | None = None,
         backend: str = "auto",
         half_neigh: bool = False,
+        fused_step: bool = False,
     ) -> "Simulation":
         """Build a Simulation from explicit, final state arrays — the
         checkpoint-resume entry (from_input reduces to this after setup).
@@ -98,6 +106,13 @@ class Simulation:
         natoms = len(x_np)
         if ntypes is None:
             ntypes = int(np.max(typ_np)) + 1 if natoms else 1
+
+        if fused_step and (inp.forcetype != FORCE_LJ or half_neigh
+                           or dtype != jnp.float32
+                           or inp.thermo_nstat == 0):
+            raise ValueError(
+                "fused_step (experimental) requires the LJ full-neighbor "
+                "f32 Pallas path with thermo_nstat > 0")
 
         # force style: each factory returns (force_ev, force_noev) closures
         if inp.forcetype == FORCE_LJ:
@@ -182,7 +197,7 @@ class Simulation:
             force_fn=force_ev, force_fn_noev=force_noev, natoms=natoms,
             mass=mass, dtforce=dtforce, dtype=dtype, backend=backend,
             _make_force=make_force, _user_nbins=nbins,
-            _user_capacity=capacity,
+            _user_capacity=capacity, _fused_step=fused_step,
         )
         sim._compute_initial_force()
         return sim
@@ -378,6 +393,57 @@ class Simulation:
                 c, (t, u, p) = finish(x, v, typ, n)
                 return c, jnp.stack([t, u, p, ovf.astype(t.dtype)])
 
+            if self._fused_step:
+                # EXPERIMENTAL: plain steps ride the fused-step kernel
+                # (force + both kicks + drift + candidate re-pack in one
+                # Pallas call, ops/lj_step_pallas.py). The interval's
+                # rebin step stays on the XLA path: the fused carry's
+                # (x, w) is exactly the (position, half-kick velocity)
+                # pair reneigh_step's rebin + finish consume — only the
+                # kick+drift it would do first has already happened in
+                # the last fused call's epilogue.
+                from .ops.lj_step_pallas import make_lj_step_pallas
+                fparams = LJParams.from_deck(
+                    1, self.inp.epsilon, self.inp.sigma, self.inp.force_cut)
+                s_ev, s_noev, seed = make_lj_step_pallas(
+                    geom, fparams, float(self.inp.dt), self.dtforce,
+                    interpret=jax.default_backend() == "cpu")
+                nbx_, nby_, nbz_ = geom.nb
+                M_ = nbx_ * nby_ * nbz_ * geom.capacity
+                tsc = self.mass * self.scales.t_scale
+
+                def fused_body(fc, n):
+                    evflag = ((n + 1) % nstat == 0)
+                    J, xg, wg, eng, vir, vsq = jax.lax.cond(
+                        evflag, s_ev, s_noev, *fc)
+                    # noev returns zero scalars, so the computed row is
+                    # exactly the plain path's zeroed non-nstat row
+                    t = vsq * tsc
+                    u = thermo.energy(eng, natoms, scales)
+                    p = thermo.pressure(t, vir, scales)
+                    return (J, xg, wg), jnp.stack(
+                        [t, u, p, jnp.zeros_like(t)])
+
+                def fused_reneigh(c, n):
+                    # the fused epilogue already kicked + drifted: go
+                    # straight to rebin with (x, w)
+                    x, w, typ, ovf = rebin_fn(c[0], c[1], c[2], geom)
+                    c, (t, u, p) = finish(x, w, typ, n)
+                    return c, jnp.stack([t, u, p, ovf.astype(t.dtype)])
+
+                def interval_fused(c, i):
+                    x, v, f, typ = c
+                    n0 = i * every
+                    fc = seed(x, v, f)
+                    fc, tr = jax.lax.scan(fused_body, fc,
+                                          n0 + jnp.arange(every - 1))
+                    J, xg, wg = fc
+                    xw = [jnp.stack([g[d].reshape(M_) for d in range(3)])
+                          for g in (xg, wg)]
+                    c, row = fused_reneigh((xw[0], xw[1], typ),
+                                           n0 + every - 1)
+                    return c, jnp.concatenate([tr, row[None]], axis=0)
+
             def run_fn(s: MDState):
                 """Interval-nested scan: (every-1) plain steps + one
                 statically-reneighboring step per interval — no per-step
@@ -389,6 +455,9 @@ class Simulation:
                     c, tr = jax.lax.scan(plain, c, n0 + jnp.arange(every - 1))
                     c, row = reneigh_step(c, n0 + every - 1)
                     return c, jnp.concatenate([tr, row[None]], axis=0)
+
+                if self._fused_step:
+                    interval = interval_fused
 
                 trace_parts = []
                 if k > 0:

@@ -88,43 +88,61 @@ def main():
     print(f"plain (production run): {plain_ms:7.3f} ms/step", flush=True)
 
     params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
-    s_ev, s_noev, seed = make_lj_step_pallas(
-        sim.geom, params, float(inp.dt), sim.dtforce)
+    for pack_mode in ("store", "concat"):
+        s_ev, s_noev, seed = make_lj_step_pallas(
+            sim.geom, params, float(inp.dt), sim.dtforce,
+            pack_mode=pack_mode)
 
-    # on-chip sanity: one ev step from the current production state
-    x, v, f = sim.state.x, sim.state.v, sim.state.f
-    J, xg, wg = jax.jit(seed)(x, v, f)
-    J1, xg1, wg1, eng, vir, vsq = jax.jit(s_ev)(J, xg, wg)
-    eng, vir, vsq = float(eng), float(vir), float(vsq)
-    print(f"sanity ev step: eng={eng:.6f} vir={vir:.6f} vsq={vsq:.3f}",
-          flush=True)
-    assert np.isfinite([eng, vir, vsq]).all()
-    nbx, nby, nbz = sim.geom.nb
-    C = sim.geom.capacity
-    M = nbx * nby * nbz * C
-    x1 = np.stack([np.asarray(xg1[c]).reshape(M) for c in range(3)])
-    x0 = np.asarray(x)
-    valid = np.asarray(sim.state.valid)
-    dmax = np.abs(x1[:, valid] - x0[:, valid]).max()
-    print(f"sanity drift: max |dx| = {dmax:.3e} (dt-bounded)", flush=True)
-    assert dmax < 0.2, "fused step moved an atom implausibly far"
+        # on-chip sanity: one ev step from the current production state
+        x, v, f = sim.state.x, sim.state.v, sim.state.f
+        try:
+            J, xg, wg = jax.jit(seed)(x, v, f)
+            J1, xg1, wg1, eng, vir, vsq = jax.jit(s_ev)(J, xg, wg)
+            eng, vir, vsq = float(eng), float(vir), float(vsq)
+        except Exception as e:   # Mosaic rejection is a result, not a crash
+            print(f"[{pack_mode}] REJECTED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+            continue
+        print(f"[{pack_mode}] sanity ev step: eng={eng:.6f} vir={vir:.6f} "
+              f"vsq={vsq:.3f}", flush=True)
+        assert np.isfinite([eng, vir, vsq]).all()
+        nbx, nby, nbz = sim.geom.nb
+        C = sim.geom.capacity
+        M = nbx * nby * nbz * C
+        x1 = np.stack([np.asarray(xg1[c]).reshape(M) for c in range(3)])
+        x0 = np.asarray(x)
+        valid = np.asarray(sim.state.valid)
+        dmax = np.abs(x1[:, valid] - x0[:, valid]).max()
+        print(f"[{pack_mode}] sanity drift: max |dx| = {dmax:.3e}",
+              flush=True)
+        assert dmax < 0.2, "fused step moved an atom implausibly far"
 
-    def make_scan(k):
-        def run(carry):
-            def body(c, _):
-                J, xg, wg = c
-                J, xg, wg, _e, _v, _q = s_noev(J, xg, wg)
-                return (J, xg, wg), jnp.zeros((), jnp.float32)
-            (J, xg, wg), _ = jax.lax.scan(body, carry, None, length=k)
-            # return a tiny fetchable so the slope helper can sync
-            return J, xg[0][0, 0, 0, 0]
-        return jax.jit(run)
+        def make_scan(k, s_noev=s_noev):
+            def run(carry):
+                def body(c, _):
+                    J, xg, wg = c
+                    J, xg, wg, _e, _v, _q = s_noev(J, xg, wg)
+                    return (J, xg, wg), jnp.zeros((), jnp.float32)
+                (J, xg, wg), _ = jax.lax.scan(body, carry, None, length=k)
+                # return a tiny fetchable so the slope helper can sync
+                return J, xg[0][0, 0, 0, 0]
+            return jax.jit(run)
 
-    fused_ms = slope(make_scan, (J, xg, wg))
-    print(f"fused step (scan)     : {fused_ms:7.3f} ms/step", flush=True)
-    print(f"=> glue recovered: {plain_ms - fused_ms:+.3f} ms/step "
-          f"(production win ~ {(plain_ms - fused_ms) * 19 / 20:+.3f} "
-          f"after the 1-in-20 rebin step)", flush=True)
+        fused_ms = slope(make_scan, (J, xg, wg))
+        print(f"[{pack_mode}] fused step (scan): {fused_ms:7.3f} ms/step  "
+              f"(vs plain {plain_ms:7.3f}; glue recovered "
+              f"{plain_ms - fused_ms:+.3f} ms/step)", flush=True)
+
+    # the decision number: the WIRED production loop (rebins included)
+    simf = Simulation.from_input(inp, dtype=jnp.float32, fused_step=True)
+    simf.run(100); simf.run(300)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); simf.run(100); ta = time.time() - t0
+        t0 = time.time(); simf.run(300); tb = time.time() - t0
+        best = min(best, (tb - ta) / 200)
+    print(f"fused production run  : {best * 1e3:7.3f} ms/step "
+          f"(plain {plain_ms:7.3f})", flush=True)
 
 
 if __name__ == "__main__":

@@ -432,3 +432,38 @@ def test_lj_fused_step_kernel_matches_plain():
     assert float(eng2) == 0.0 and float(vir2) == 0.0 and float(vsq2) == 0.0
     xf2 = np.stack([np.asarray(xg2[c]).reshape(M) for c in range(3)])
     assert np.abs(xf2[:, valid] - xf[:, valid]).max() / xscale < 1e-6
+
+
+def test_lj_fused_step_run_wiring():
+    """The opt-in fused_step run() path (EXPERIMENTAL) must reproduce the
+    plain loop's semantics through rebin boundaries: same zeroed-row
+    cadence, thermo rows tracking the plain trace (different force-kernel
+    rounding + in-kernel reductions: close, not bit-equal), no atom loss,
+    and the final state consistent. CPU = interpret-mode kernel."""
+    inp = builtin_deck("lj")
+    inp.nx = inp.ny = inp.nz = 6
+    inp.thermo_nstat = 5
+    a = Simulation.from_input(inp, dtype=jnp.float32, backend="xla")
+    b = Simulation.from_input(inp, dtype=jnp.float32, backend="xla",
+                              fused_step=True)
+    tr_a = a.run(40)
+    tr_b = b.run(40)
+    assert tr_a.shape == tr_b.shape
+    # identical zero-row cadence (non-nstat steps carry no thermo)
+    np.testing.assert_array_equal(tr_a == 0.0, tr_b == 0.0)
+    rows = np.nonzero(tr_a[:, 0])[0]
+    assert len(rows) >= 8
+    # early rows: f32 kernel-rounding differences only; later rows drift
+    # chaotically but stay in the same statistical band
+    np.testing.assert_allclose(tr_b[rows[0]], tr_a[rows[0]], rtol=2e-4)
+    np.testing.assert_allclose(tr_b[rows], tr_a[rows], rtol=0.08)
+    assert int(np.asarray(b.state.valid).sum()) == b.natoms
+    ra, rb = a.thermo_row(40), b.thermo_row(40)
+    np.testing.assert_allclose(rb[1:], ra[1:], rtol=0.08)
+
+    # the flag rejects unsupported configurations loudly
+    with pytest.raises(ValueError):
+        Simulation.from_input(inp, dtype=jnp.float64, fused_step=True)
+    inp2 = builtin_deck("eam")
+    with pytest.raises(ValueError):
+        Simulation.from_input(inp2, dtype=jnp.float32, fused_step=True)
