@@ -35,6 +35,10 @@ from .pairgrid import fused_lane_pack, halo_extent
 
 _BIG = 5.0e5  # sentinel coordinate for masked lane padding
 
+# Output relayout idiom (read at trace time; module-level so A/B perf
+# experiments can build both programs in one process — see force() below).
+OUT_STACK = True
+
 
 def _round_up(n, m):
     return (n + m - 1) // m * m
@@ -302,7 +306,20 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             if not pack_xi:
                 args = args + g
             f, eng, vir = call(*args)
-            return f.reshape(3, M), jnp.sum(eng), jnp.sum(vir)
+            # per-coordinate reshape + stack, NOT f.reshape(3, M): XLA
+            # lowers a grid->flat reshape whose major (coordinate) dim
+            # crosses the relayout as a 3-iteration while loop of
+            # dynamic-update-slices; three plain per-coordinate relayout
+            # copies plus one concat lower cleanly (the input side above
+            # uses the same per-coordinate idiom for the same reason).
+            # Measured +0.9% whole-step at 864k (45.43 -> 45.85
+            # Matom-steps/s, same-session A/B, scripts/exp_glue.py
+            # 2026-08-19; +1.4% combined with sim.NOEV_FASTPATH)
+            if OUT_STACK:
+                f = jnp.stack([f[c].reshape(M) for c in range(3)])
+            else:
+                f = f.reshape(3, M)
+            return f, jnp.sum(eng), jnp.sum(vir)
 
         return force
 

@@ -21,6 +21,11 @@ from .ops.lj import LJParams
 from .state import MDState, init_state
 from .units import ThermoScales, thermo_scales
 
+# Statically-noev plain steps on aligned decks (read at trace time;
+# module-level so A/B perf experiments can build both programs in one
+# process — see run() below).
+NOEV_FASTPATH = True
+
 
 @dataclasses.dataclass
 class Simulation:
@@ -369,6 +374,32 @@ class Simulation:
                 c, (t, u, p) = finish(x, v, typ, n)
                 return c, jnp.stack([t, u, p, jnp.zeros_like(t)])
 
+            # When the thermo cadence is a multiple of the reneighbor
+            # cadence (every shipped deck: nstat=100, every=20), a plain
+            # step can STATICALLY never be a thermo step: (n+1) % nstat
+            # == 0 implies (n+1) % every == 0, i.e. a reneigh step, and
+            # with r == 0 the final (ev-forced) step is a reneigh step
+            # too. Calling force_noev directly instead of the traced-
+            # predicate lax.cond drops the conditional's operand
+            # marshaling and branch plumbing (measured +0.5% whole-step
+            # at 864k on top of OUT_STACK, neutral alone — same-session
+            # A/B, scripts/exp_glue.py 2026-08-19; the reference's
+            # evflag gate, integrate.cpp:182-183, is a compile-time
+            # branch for the same reason). Bit-identical: same ops in
+            # the same order as the cond's false branch.
+            def plain_noev(c, n):
+                del n
+                x, v, f, typ = c
+                v = v + dtf * f
+                x = x + dt * v
+                f, eng, vir = force_noev(x, typ)
+                v = v + dtf * f
+                zero = jnp.zeros((), v.dtype)
+                return (x, v, f, typ), jnp.stack([zero] * 4)
+
+            aligned = NOEV_FASTPATH and nstat > 0 and nstat % every == 0
+            plain_interval = plain_noev if aligned else plain
+
             # local (one-hot pull) rebin needs distinct wrap neighbors;
             # tiny grids fall back to the sort-based path. On TPU/f32 the
             # Pallas kernel (srcl contraction + per-lane channel gathers)
@@ -452,7 +483,8 @@ class Simulation:
 
                 def interval(c, i):
                     n0 = i * every
-                    c, tr = jax.lax.scan(plain, c, n0 + jnp.arange(every - 1))
+                    c, tr = jax.lax.scan(plain_interval, c,
+                                         n0 + jnp.arange(every - 1))
                     c, row = reneigh_step(c, n0 + every - 1)
                     return c, jnp.concatenate([tr, row[None]], axis=0)
 
