@@ -179,6 +179,17 @@ def pick_capacity(counts: np.ndarray, mean_density_per_cell: float,
 # reference's neighbor-bin resize semantics, neighbor.cpp:186-208,241-261).
 MAX_CAPACITY = 4 * 128
 
+# Grid-size threshold (total cell slots M) above which the step-glue
+# relayout idioms pay: the per-coordinate output stack (ops/lj_pallas
+# OUT_STACK), the statically-noev plain step, and the per-coordinate
+# (M,) scan carry (sim NOEV_FASTPATH / TRIPLE_CARRY). All three are
+# bit-identical reformulations measured BOTH ways on the chip
+# (2026-08-19, same-session A/B, scripts/exp_carry.py): at 864k
+# (M=1.44M) they add up to +2.9% (45.43 -> 46.75 Matom-steps/s); at
+# 131k (M=135k) EACH costs ~5% (53.4 -> 50.2-51.2) — small steps sit
+# on a scheduling/fusion path the restructured programs fall off.
+LARGE_GRID_SLOTS = 500_000
+
 
 def next_capacity(capacity: int) -> int:
     """Geometric growth: each retry recompiles the fused scan (minutes on

@@ -572,6 +572,10 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
 
         def force(x, typ):
             del typ
+            # x: (3, M) array OR a 3-tuple of flat (M,) arrays (sim.py's
+            # triple carry — see ops/lj_pallas.py force() for the tiling
+            # rationale); both index per coordinate the same way
+            triple = isinstance(x, (tuple, list))
             g = [x[c].reshape(nbz, nby, nbx, C) for c in range(3)]
             J = [pack_candidates(g[c], c) for c in range(3)]
             jargs = [J[c] for c in range(3) for _off in range(9)]
@@ -597,8 +601,13 @@ def _make_eam_force_pallas_fused(geom: CellGeometry, tables: EAMTables,
                 fargs = fargs + g + [fpg]
             f, eng, vir = force_call(*fargs)
             eng_vdwl = 2.0 * (embed_eng + 0.5 * jnp.sum(eng))
-            return f.reshape(3, M), eng_vdwl, jnp.sum(vir)
+            if triple:
+                f = tuple(f[c].reshape(M) for c in range(3))
+            else:
+                f = f.reshape(3, M)
+            return f, eng_vdwl, jnp.sum(vir)
 
+        force.accepts_triple = True
         return force
 
     return build(True), build(False)

@@ -29,15 +29,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..cells import CellGeometry
+from ..cells import LARGE_GRID_SLOTS, CellGeometry
 from .lj import LJParams
 from .pairgrid import fused_lane_pack, halo_extent
 
 _BIG = 5.0e5  # sentinel coordinate for masked lane padding
 
 # Output relayout idiom (read at trace time; module-level so A/B perf
-# experiments can build both programs in one process — see force() below).
-OUT_STACK = True
+# experiments can build both programs in one process — see force()
+# below). "auto" = per-coordinate stack for large grids only
+# (cells.LARGE_GRID_SLOTS: +0.9% at 864k, ~-5% at 131k — see the
+# constant's comment); True/False force it.
+OUT_STACK = "auto"
 
 
 def _round_up(n, m):
@@ -300,6 +303,13 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
 
         def force(x, typ):
             del typ
+            # x may be the (3, M) state array OR a 3-tuple of flat (M,)
+            # coordinate arrays (sim.py's triple carry: a (3, M) f32 scan
+            # carry tiles T(8,128) with the 3-row sublane dim padded to 8,
+            # so every elementwise integrate op pays ~2.7x bandwidth;
+            # per-coordinate (M,) carries tile densely). Both index the
+            # same way; only the output relayout differs.
+            triple = isinstance(x, (tuple, list))
             g = [x[c].reshape(nbz, nby, nbx, C) for c in range(3)]
             J = [pack_candidates(g[c], c) for c in range(3)]
             args = [J[c] for c in range(3) for _off in range(9)]
@@ -315,12 +325,17 @@ def _make_lj_force_pallas_fused(geom: CellGeometry, params: LJParams,
             # Measured +0.9% whole-step at 864k (45.43 -> 45.85
             # Matom-steps/s, same-session A/B, scripts/exp_glue.py
             # 2026-08-19; +1.4% combined with sim.NOEV_FASTPATH)
-            if OUT_STACK:
+            ostack = (M >= LARGE_GRID_SLOTS if OUT_STACK == "auto"
+                      else OUT_STACK)
+            if triple:
+                f = tuple(f[c].reshape(M) for c in range(3))
+            elif ostack:
                 f = jnp.stack([f[c].reshape(M) for c in range(3)])
             else:
                 f = f.reshape(3, M)
             return f, jnp.sum(eng), jnp.sum(vir)
 
+        force.accepts_triple = True
         return force
 
     return build(True), build(False)

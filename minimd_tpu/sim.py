@@ -23,8 +23,15 @@ from .units import ThermoScales, thermo_scales
 
 # Statically-noev plain steps on aligned decks (read at trace time;
 # module-level so A/B perf experiments can build both programs in one
-# process — see run() below).
-NOEV_FASTPATH = True
+# process — see run() below). "auto" = on for large grids only
+# (cells.LARGE_GRID_SLOTS — measured a WIN at 864k and a LOSS at 131k,
+# see the constant's comment); True/False force it for A/B runs.
+NOEV_FASTPATH = "auto"
+
+# Per-coordinate (M,) scan carries on the aligned fastpath when the force
+# backend supports them (read at trace time; module-level for the same
+# A/B reason; same "auto" size gate — see run() below).
+TRIPLE_CARRY = "auto"
 
 
 @dataclasses.dataclass
@@ -397,8 +404,33 @@ class Simulation:
                 zero = jnp.zeros((), v.dtype)
                 return (x, v, f, typ), jnp.stack([zero] * 4)
 
-            aligned = NOEV_FASTPATH and nstat > 0 and nstat % every == 0
+            large = geom.nslots >= cells.LARGE_GRID_SLOTS
+            noev_on = (large if NOEV_FASTPATH == "auto" else NOEV_FASTPATH)
+            aligned = noev_on and nstat > 0 and nstat % every == 0
             plain_interval = plain_noev if aligned else plain
+
+            # Triple carry: a (3, M) f32 scan carry is tiled T(8, 128)
+            # with its 3-row sublane dim padded to 8, so every kick/drift
+            # pass over it moves ~2.7x the bytes. Carrying x/v/f as
+            # 3-tuples of flat (M,) arrays (dense tiling) through the
+            # plain-step scan removes that padding; the interval boundary
+            # stacks back to (3, M) for the rebin step (1/every of the
+            # cost). Bit-identical: the same elementwise ops run per
+            # coordinate slice, and the force kernel consumes identical
+            # per-coordinate grids either way (ops/lj_pallas.py force()).
+            triple_on = (large if TRIPLE_CARRY == "auto" else TRIPLE_CARRY)
+            triple = (triple_on and aligned and not self._fused_step
+                      and getattr(force_noev, "accepts_triple", False))
+
+            def plain_noev_triple(c, n):
+                del n
+                x, v, f, typ = c    # x, v, f: 3-tuples of (M,)
+                v = tuple(v[i] + dtf * f[i] for i in range(3))
+                x = tuple(x[i] + dt * v[i] for i in range(3))
+                f, eng, vir = force_noev(x, typ)
+                v = tuple(v[i] + dtf * f[i] for i in range(3))
+                zero = jnp.zeros((), v[0].dtype)
+                return (x, v, f, typ), jnp.stack([zero] * 4)
 
             # local (one-hot pull) rebin needs distinct wrap neighbors;
             # tiny grids fall back to the sort-based path. On TPU/f32 the
@@ -483,8 +515,17 @@ class Simulation:
 
                 def interval(c, i):
                     n0 = i * every
-                    c, tr = jax.lax.scan(plain_interval, c,
-                                         n0 + jnp.arange(every - 1))
+                    if triple:
+                        x, v, f, typ = c
+                        ct = (tuple(x[j] for j in range(3)),
+                              tuple(v[j] for j in range(3)),
+                              tuple(f[j] for j in range(3)), typ)
+                        ct, tr = jax.lax.scan(plain_noev_triple, ct,
+                                              n0 + jnp.arange(every - 1))
+                        c = tuple(jnp.stack(a) for a in ct[:3]) + (ct[3],)
+                    else:
+                        c, tr = jax.lax.scan(plain_interval, c,
+                                             n0 + jnp.arange(every - 1))
                     c, row = reneigh_step(c, n0 + every - 1)
                     return c, jnp.concatenate([tr, row[None]], axis=0)
 

@@ -256,6 +256,14 @@ def test_eam_fused_pallas_kernel_matches_exact():
     assert np.abs(np.asarray(fn)[:, valid] - fp2).max() == 0.0
     assert float(en) == 0.0 and float(vn) == 0.0
 
+    # triple input (sim.TRIPLE_CARRY): tuple of flat (M,) coordinate
+    # arrays in, tuple of (M,) forces out — same ops, bit-identical
+    assert getattr(p_noev, "accepts_triple", False)
+    ft, et, vt = jax.jit(p_noev)((x32[0], x32[1], x32[2]), typ)
+    assert isinstance(ft, tuple) and len(ft) == 3
+    ft2 = np.stack([np.asarray(c) for c in ft])
+    assert np.abs(ft2[:, valid] - np.asarray(fn)[:, valid]).max() == 0.0
+
 
 def test_embedding_pallas_bit_identical():
     """make_embedding_pallas must reproduce the XLA spline-gather idiom

@@ -267,6 +267,15 @@ def test_lj_fused_pallas_kernel_matches_exact():
     # of the exact divide (measured 1.4e-7 on TPU hardware after 1 step)
     assert np.abs(out["nr2"] - out["div"]).max() / scale < 1e-6
 
+    # triple input (sim.TRIPLE_CARRY): tuple of flat (M,) coordinate
+    # arrays in, tuple of (M,) forces out — same ops, bit-identical to
+    # the (3, M) call of the same build
+    assert getattr(p_noev, "accepts_triple", False)
+    fn3, _, _ = jax.jit(p_noev)((x32[0], x32[1], x32[2]), typ)
+    assert isinstance(fn3, tuple) and len(fn3) == 3
+    fn3_ = np.stack([np.asarray(c) for c in fn3])
+    assert np.abs(fn3_[:, valid] - np.asarray(fn)[:, valid]).max() == 0.0
+
     # xi_src="pack" (own-row coordinates sliced from the candidate pack's
     # center lanes — the raw grids never materialize in HBM) is the SAME
     # arithmetic on the same values: bit-identical, not just close
@@ -293,6 +302,50 @@ def test_lj_fused_pallas_kernel_matches_exact():
     fes_ = np.asarray(fe_s)[:, valid]
     assert np.abs(np.asarray(fp_s)[:, valid] - fes_).max() \
         / np.abs(fes_).max() < 2e-5
+
+
+def test_triple_carry_bit_identical():
+    """sim.TRIPLE_CARRY carries x/v/f through the plain-step scan as
+    3-tuples of flat (M,) arrays (dense TPU tiling) instead of one (3, M)
+    array (3-row sublane dim padded to 8 — ~2.7x bandwidth on every
+    kick/drift). Same elementwise ops per coordinate slice => the whole
+    run must be BIT-identical, not just close. The Pallas force closures
+    advertise accepts_triple; here an adapter over the XLA grid force
+    exercises the run()-loop plumbing on CPU."""
+    from minimd_tpu import sim as sim_mod
+
+    def build():
+        inp = builtin_deck("lj")
+        inp.nx = inp.ny = inp.nz = 6
+        inp.thermo_nstat = 20   # aligned with neigh_every=20
+        s = Simulation.from_input(inp, dtype=jnp.float32, backend="xla")
+        base = s.force_fn_noev
+
+        def adapter(x, typ):
+            if isinstance(x, (tuple, list)):
+                f, e, v = base(jnp.stack(x), typ)
+                return tuple(f[c] for c in range(3)), e, v
+            return base(x, typ)
+
+        adapter.accepts_triple = True
+        s.force_fn_noev = adapter
+        return s
+
+    old = sim_mod.TRIPLE_CARRY
+    try:
+        sim_mod.TRIPLE_CARRY = False
+        a = build()
+        tr_a = a.run(60)
+        sim_mod.TRIPLE_CARRY = True
+        b = build()
+        tr_b = b.run(60)
+    finally:
+        sim_mod.TRIPLE_CARRY = old
+    assert np.array_equal(tr_a, tr_b)
+    for name in ("x", "v", "f"):
+        assert np.array_equal(np.asarray(getattr(a.state, name)),
+                              np.asarray(getattr(b.state, name))), name
+    assert int(b.state.overflow) == 0
 
 
 def test_lj_gather_variant_matches_grid():
