@@ -262,10 +262,17 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
     """Fit the four pair functions of an EAMTables instance. `split` must
     sit on a spline knot and leave the truncation kink (the last ~2 rows
     before the cutoff) to the tail; None picks the knot two rows before the
-    cutoff. `degree` is an int (all functions) or a {name: int} dict of
-    starting degrees, raised adaptively until the f32 fit error is at
-    rounding scale (so the kernel spends the minimum Horner ops the
-    potential file allows)."""
+    cutoff.
+
+    `degree`: None fits adaptively from the per-function defaults, raising
+    the degree until the f64 fit error reaches `_BODY_TOL` (so the kernel
+    spends the minimum Horner ops the potential file allows). An explicit
+    int (all functions) or {name: int} dict PINS those functions at
+    exactly that degree — no adaptive raise — the throughput-vs-accuracy
+    sweep knob (scripts/exp_eam_degree.py; a pinned degree trades fit
+    error for Horner ops and must be validated at the TRAJECTORY level,
+    the reference's statistical acceptance criterion, like the LJ nr0
+    reciprocal was)."""
     nr, dr, cut = tables.nr, tables.dr, tables.cut
     rdr = 1.0 / dr
     rhor, z2r = tables.rhor_spline, tables.z2r_spline

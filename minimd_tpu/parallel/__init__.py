@@ -240,7 +240,7 @@ class ShardedSimulation:
                   f"{newcap} (migration overflow), replaying interval")
             self._regrow(arrays_before, newcap)
             return self.run(ntimes, n0)
-        if ovf_buf > 0 and self._rebuild is not None:
+        if ovf_buf > 0:
             # migration-buffer overflow: leavers beyond the buffer were
             # DROPPED, so the trajectory is invalid — grow the buffers and
             # replay from the pre-dispatch state (the reference grows its
@@ -254,21 +254,30 @@ class ShardedSimulation:
             ly = nby // self.mesh.shape["y"]
             lz = nbz // self.mesh.shape["z"]
             C = self.geom.capacity
-            base = self._buf_cap or max(ly * lz, lx * lz, lx * ly) * C
+            # comm.make_exchange_rebin clamps user caps to the local pool;
+            # mirror that here so base reflects the buffer actually built
+            base = (min(int(self._buf_cap), lx * ly * lz * C)
+                    if self._buf_cap else max(ly * lz, lx * lz, lx * ly) * C)
             # the overflow count bounds the shortfall, so one growth step
             # suffices (vs the reference's incremental BUFFACTOR loop)
             newbuf = min(max(2 * base, base + ovf_buf), lx * ly * lz * C)
-            if newbuf > base:
+            if newbuf > base and self._rebuild is not None:
                 print(f"# resize: migration buffer {base} -> {newbuf} "
                       "slots (buffer overflow), replaying interval")
                 self._buf_cap = newbuf
                 self.run_fn, _ = self._rebuild(self.geom, newbuf)
                 self.arrays = arrays_before
                 return self.run(ntimes, n0)
+            # fail loudly in every remaining case (no rebuild hook, or the
+            # buffer already spans the device pool): the dropped atoms make
+            # the trajectory invalid, never return it
             raise RuntimeError(
                 f"migration buffer overflow: {ovf_buf} leaver(s) did not "
-                f"fit a device-pool-sized buffer ({base} slots); the "
-                "system is displacing faster than the exchange can ship")
+                f"fit the exchange buffer ({base} slots)"
+                + ("; construct via from_input/from_arrays for transparent "
+                   "buffer growth" if self._rebuild is None else
+                   "; the system is displacing faster than the exchange "
+                   "can ship"))
         if ovf_move > 0:
             # atoms moved farther than the exchange forwards per interval:
             # no capacity can fix that — fail loudly with the remedy the

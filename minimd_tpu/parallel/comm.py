@@ -78,7 +78,12 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
         "z": lx * ly * C,
     }
     if buf_cap is not None:
-        caps = {k: int(buf_cap) for k in caps}
+        # clamp to the device-local pool: a buffer larger than the pool can
+        # never fill (there aren't that many atoms to leave), and pack()'s
+        # length-B arange mask must agree with the [:, :B] slice widths —
+        # an unclamped user cap produced an obscure shape-mismatch trace
+        # error instead of working (the runner's grow path already clamps)
+        caps = {k: min(int(buf_cap), M_local) for k in caps}
 
     nb_all = {"x": nbx, "y": nby, "z": nbz}
     dim_of = {"x": 0, "y": 1, "z": 2}

@@ -138,9 +138,15 @@ def main():
     # builds (10000-step golden logs).
     if args.scope == "quick":
         if args.tpu:
-            cases = [("lj", 10, 2000), ("eam", 10, 10000)]
+            # lj 10/10000 IS the acceptance run that admitted the kernel's
+            # nr0 raw-approx-reciprocal default (force error 1.02e-4 of
+            # scale, aggregate 0.21 vs the 0.38 bound) — interpret mode
+            # cannot emulate the hardware LUT, so this routinely-run TPU
+            # gate is what catches a toolchain regression in the approx
+            # reciprocal (ADVICE r4)
+            cases = [("lj", 10, 10000), ("eam", 10, 10000)]
         else:
-            cases = [("lj", 10, 500), ("eam", 10, 200)]
+            cases = [("lj", 10, 500), ("eam", 10, 500)]
     elif args.scope == "full":
         if args.tpu:
             cases = [("lj", 10, 10000), ("lj", 20, 2000),

@@ -399,8 +399,10 @@ def test_run_timed_matches_run_program():
 
 
 def test_lj_fused_step_kernel_matches_plain():
-    """Fused-STEP kernel parity (ops/lj_step_pallas.py, EXPERIMENTAL —
-    not wired into sim.py yet): seed + N fused invocations must
+    """Fused-STEP kernel parity (ops/lj_step_pallas.py, wired behind the
+    opt-in Simulation(fused_step=True) flag — measured slower than the
+    plain loop on the r4 toolchain, default OFF): seed + N fused
+    invocations must
     reproduce the plain path's kick/drift/force/kick sequence. The force
     body, the FMA order of the two kicks, and the pack (a copy) are
     identical code, so x/w track the plain path to f32 rounding, the
