@@ -278,10 +278,15 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
     rhor, z2r = tables.rhor_spline, tables.z2r_spline
     if split is None:
         split = (int(cut * rdr + 1.0) - 2) * dr
+    pinned: set = set()
     if degree is None:
         degree = dict(_DEFAULT_DEGREE)
     elif isinstance(degree, int):
         degree = {name: degree for name in _DEFAULT_DEGREE}
+        pinned = set(degree)
+    else:
+        pinned = set(degree)
+        degree = dict(_DEFAULT_DEGREE, **degree)
 
     fns = {
         "R":  lambda r: _spline_value(rhor, nr, dr, r),
@@ -312,6 +317,8 @@ def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,
             power = np.polynomial.polynomial.Polynomial.cast(
                 np.polynomial.chebyshev.Chebyshev(fit.coef))  # u, ascending
             coeffs = tuple(float(c) for c in power.coef[::-1])
+            if name in pinned:
+                break
             # adaptive criterion is the true (f64) fit error: the f32 kernel
             # adds its own rounding on top regardless of degree
             err64 = np.abs(_horner_np(np.asarray(coeffs), u64) - ys).max() \

@@ -82,6 +82,7 @@ class Simulation:
         backend: str = "auto",   # 'auto' | 'pallas' | 'xla'
         half_neigh: bool = False,
         fused_step: bool = False,
+        eam_degree=None,
     ) -> "Simulation":
         prd, x_np, v_np, typ_np, mass = create.setup_system(
             inp, ntypes, potential_path)
@@ -89,7 +90,8 @@ class Simulation:
             inp, prd, x_np, v_np, typ_np, mass, ntypes=ntypes,
             dtype=dtype, nbins=nbins, capacity=capacity,
             cell_chunk=cell_chunk, potential_path=potential_path,
-            backend=backend, half_neigh=half_neigh, fused_step=fused_step)
+            backend=backend, half_neigh=half_neigh, fused_step=fused_step,
+            eam_degree=eam_degree)
 
     @staticmethod
     def from_arrays(
@@ -109,6 +111,11 @@ class Simulation:
         backend: str = "auto",
         half_neigh: bool = False,
         fused_step: bool = False,
+        # EAM pair-table polynomial degrees: None = adaptive (fit-error
+        # driven, eam_file._DEFAULT_DEGREE); an int or {"R"/"G1"/"G2"/"P":
+        # int} dict PINS exact degrees — the accuracy-vs-throughput knob
+        # (validated at the trajectory level, scripts/exp_eam_degree.py)
+        eam_degree=None,
     ) -> "Simulation":
         """Build a Simulation from explicit, final state arrays — the
         checkpoint-resume entry (from_input reduces to this after setup).
@@ -177,9 +184,12 @@ class Simulation:
                         # negative result, not wired here.
                         from .ops.eam_pallas import make_eam_force_pallas
                         return make_eam_force_pallas(geom, tables, ntypes,
-                                                     dtype=dtype)
+                                                     dtype=dtype,
+                                                     degree=eam_degree)
                     from .ops.eam_grid import make_eam_force_grid
-                    return make_eam_force_grid(geom, tables, ntypes, dtype=dtype)
+                    return make_eam_force_grid(geom, tables, ntypes,
+                                               dtype=dtype,
+                                               degree=eam_degree)
                 f = make_eam_force(geom, tables, ntypes, dtype=dtype,
                                    cell_chunk=cell_chunk)
                 return f, f

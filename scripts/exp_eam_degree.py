@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""EAM pair-table degree sweep: throughput vs trajectory acceptance.
+
+The VERDICT-r4 observation: the accuracy budget was spent inconsistently —
+LJ ships the nr0 raw approx reciprocal (force error 1.02e-4 of scale)
+because it passes the reference's own statistical trajectory acceptance
+criterion (ref/run_one_test:121-138), while EAM's degree-18 G1/G2 tables
+were rejected at 2.4e-6 of scale, judged in FORCE space. This experiment
+applies the nr0 standard to the EAM Horner bodies, the measured hot spot
+(G1+G2 evals = 4.45 of the 10.22 ms step at 131k, STATUS.md):
+
+  phase tp   same-session throughput A/B at 131k for pinned degree
+             configs {adaptive(20), 18, 16, 14} (R pinned at its fit
+             floor 19; P stays 20 — evflag-only, off the hot path)
+  phase acc  the reference's golden acceptance (4k/10000 + 16k/10000,
+             the same bar that admitted nr0) for each candidate config
+
+Ship rule: the lowest degree that passes acceptance with margin becomes
+the eam_degree default; anything that fails is a recorded trajectory-level
+negative. f32 fit errors for context (relative to each function's scale):
+
+  adaptive: G1 8.5e-7   G2 4.7e-7
+  d18:      G1 8.7e-7   G2 4.6e-7   (free — the fitter's own floor)
+  d16:      G1 4.7e-6   G2 6.7e-7
+  d14:      G1 4.9e-5   G2 5.1e-6   (still below nr0's 1.02e-4 budget)
+
+Usage:
+  python scripts/exp_eam_degree.py tp            # throughput sweep, 131k
+  python scripts/exp_eam_degree.py acc d14 d16   # acceptance for configs
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+from minimd_tpu.backend import wait_for_backend  # noqa: E402
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import jax.numpy as jnp  # noqa: E402
+
+from minimd_tpu.config import builtin_deck  # noqa: E402
+from minimd_tpu.sim import Simulation  # noqa: E402
+
+CONFIGS = {
+    "base": None,
+    "d18": {"G1": 18, "G2": 18, "R": 19},
+    "d16": {"G1": 16, "G2": 16, "R": 19},
+    "d14": {"G1": 14, "G2": 14, "R": 19},
+}
+
+
+def throughput(eam_degree, n=32, steps_a=100, steps_b=300, reps=3):
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = n
+    sim = Simulation.from_input(inp, dtype=jnp.float32,
+                                eam_degree=eam_degree)
+    sim.run(steps_a)
+    sim.run(steps_b)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time(); sim.run(steps_a); ta = time.time() - t0
+        t0 = time.time(); sim.run(steps_b); tb = time.time() - t0
+        best = min(best, (tb - ta) / (steps_b - steps_a))
+    assert int(sim.state.overflow) == 0
+    return sim.natoms / best / 1e6
+
+
+def acceptance(eam_degree, size, steps=10000):
+    from minimd_tpu.validate import compare_traces, parse_golden
+
+    sizes = {10: "4k", 16: "16k", 20: "32k"}
+    golden = parse_golden(ROOT / "tests" / "golden" / f"{sizes[size]}.eam")
+    inp = builtin_deck("eam")
+    inp.nx = inp.ny = inp.nz = size
+    inp.thermo_nstat = 100
+    sim = Simulation.from_input(inp, dtype=jnp.float32,
+                                eam_degree=eam_degree)
+    trace = sim.run(steps)
+    rows = sim.thermo_trace(trace)
+    return compare_traces(rows, golden.rows, natoms=sim.natoms,
+                          system="eam", precision=4)
+
+
+def main():
+    wait_for_backend()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "tp"
+    if mode == "tp":
+        out = {}
+        # baseline FIRST: wins only count same-session (CLAUDE.md)
+        for tag in ("base", "d18", "d16", "d14"):
+            t0 = time.time()
+            out[tag] = round(throughput(CONFIGS[tag]), 2)
+            print(f"{tag}: {out[tag]} Matom-steps/s "
+                  f"(wall {time.time() - t0:.0f}s)", flush=True)
+        print(json.dumps(out))
+    elif mode == "acc":
+        tags = sys.argv[2:] or ["d16", "d14"]
+        for tag in tags:
+            for size in (10, 16):
+                t0 = time.time()
+                res = acceptance(CONFIGS[tag], size)
+                print(f"{tag} size {size}: "
+                      f"{'PASS' if res.passed else 'FAIL'} {res} "
+                      f"(wall {time.time() - t0:.0f}s)", flush=True)
+    else:
+        sys.exit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
