@@ -249,12 +249,48 @@ def _horner_np(coeffs, x):
 # error concentrates at the body's upper edge where the r-weighting in
 # fpair*d amplifies it ~2x, and dropping them to 18 measurably blows the
 # grid-vs-exact force error from 2.8e-7 to 2.4e-6 of force scale despite a
-# near-identical max fit error — so they stay at 20. P errors add
-# coherently over all pairs in the potential-energy sum, so it needs the
-# same tight tolerance (and only runs on evflag/thermo steps anyway).
+# near-identical max fit error — so they stay at 20 wherever forces are
+# validated in FORCE space (CPU/f64/interpret). P errors add coherently
+# over all pairs in the potential-energy sum, so it needs the same tight
+# tolerance (and only runs on evflag/thermo steps anyway).
 _DEFAULT_DEGREE = {"R": 20, "G1": 20, "G2": 20, "P": 20}
 _BODY_TOL = {"R": 5e-9, "G1": 1e-6, "G2": 2e-7, "P": 2e-9}
 _MAX_DEGREE = 24
+
+# TPU-hardware production degrees, judged at the TRAJECTORY level — the
+# reference's own statistical acceptance criterion (run_one_test:121-138),
+# the same bar that admitted the LJ nr0 reciprocal. Measured 2026-08-19
+# on-chip (scripts/exp_eam_degree.py), 10000-step golden traces:
+#   G1/G2=18, R=19: PASS with margin (4k: T 0.030 E 0.079 P 0.287;
+#                   16k: T 0.020 E 0.030 P 0.218; bound 0.38)  [+5.8%]
+#   G1/G2=16:       FAIL (aggregates 0.46-0.61)
+#   G1/G2=14:       FAIL (aggregates 0.72-0.91)
+# — EAM trajectories are ~50x more sensitive to the pair tables' coherent
+# polynomial bias than LJ is to nr0's quasi-random reciprocal error
+# (d16's 4.7e-6-of-scale fit error already fails where nr0's 1.02e-4
+# force error passes). The hardware default is therefore exactly the
+# lowest PASSING config; CPU validation paths keep the adaptive
+# (force-space-exact) fit.
+HARDWARE_DEGREE = {"G1": 18, "G2": 18, "R": 19}
+
+
+def resolve_degree(degree, dtype, interpret: bool = False):
+    """Resolve a kernel builder's `degree` argument: None on TPU-hardware
+    f32 means the trajectory-validated HARDWARE_DEGREE; "adaptive" forces
+    the fit-error-driven default everywhere (the escape hatch, like
+    recip="nr1" for LJ); anything else passes through to
+    build_pair_polys."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(degree, str):
+        if degree != "adaptive":
+            raise ValueError(f"unknown eam degree mode {degree!r}")
+        return None
+    if (degree is None and dtype == jnp.float32 and not interpret
+            and jax.default_backend() != "cpu"):
+        return dict(HARDWARE_DEGREE)
+    return degree
 
 
 def build_pair_polys(tables, lo: float = 1.8, split: float | None = None,

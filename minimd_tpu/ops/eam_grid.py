@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..cells import CellGeometry, _SENTINEL_BASE
-from ..eam_file import PairPolys, build_pair_polys
+from ..eam_file import PairPolys, build_pair_polys, resolve_degree
 from .eam import EAMTables
 from .pairgrid import halo_extent, pad_grid_int, stencil_slice, to_padded_soa
 
@@ -71,14 +71,19 @@ def eval_pair_fns(r, polys: PairPolys, names):
 
 def make_eam_force_grid(geom: CellGeometry, tables: EAMTables,
                         ntypes: int = 1, dtype=jnp.float32,
-                        fp_exchange=None, degree: int | None = None,
+                        fp_exchange=None, degree=None,
                         nb_local=None, exchanges=None):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
 
     nb_local/exchanges: device-local grid shape and per-axis halo exchange
     hooks for sharded execution (see pairgrid.to_padded_soa). The fp halo
     between the passes rides the same hooks — the reference's mid-force
-    communicate (force_eam.cpp:851-887)."""
+    communicate (force_eam.cpp:851-887).
+
+    degree=None resolves to the trajectory-validated hardware pair-table
+    degrees on TPU f32 and the adaptive (force-space-exact) fit on CPU;
+    "adaptive"/int/dict override (eam_file.resolve_degree)."""
+    degree = resolve_degree(degree, dtype)
     nbx, nby, nbz = nb_local if nb_local is not None else geom.nb
     nb_loc = (nbx, nby, nbz)
     C = geom.capacity

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..cells import CellGeometry, _SENTINEL_BASE
-from ..eam_file import build_pair_polys
+from ..eam_file import build_pair_polys, resolve_degree
 from .eam import EAMTables
 from .eam_grid import eval_pair_fns
 from .pairgrid import halo_extent
@@ -42,7 +42,7 @@ def _round_up(n, m):
 
 def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
                           ntypes: int = 1, dtype=jnp.float32,
-                          degree: int | None = None, interpret: bool = False,
+                          degree=None, interpret: bool = False,
                           nb_local=None, exchanges=None, fp_exchange=None,
                           xi_src: str = "grid"):
     """(force_ev, force_noev) closures: (x, typ) -> (f, eng_vdwl, virial).
@@ -54,7 +54,12 @@ def make_eam_force_pallas(geom: CellGeometry, tables: EAMTables,
     boundary slabs with mesh neighbors through the `exchanges` ppermute
     hooks — both for the coordinates and for the mid-force fp halo
     (force_eam.cpp:274-449 two-pass structure). On a 1-device mesh the
-    sharded program degenerates to exactly the single-device kernel."""
+    sharded program degenerates to exactly the single-device kernel.
+
+    degree=None resolves to the trajectory-validated hardware pair-table
+    degrees on TPU f32 and the adaptive (force-space-exact) fit under
+    interpret/CPU; "adaptive"/int/dict override (eam_file.resolve_degree)."""
+    degree = resolve_degree(degree, dtype, interpret)
     return _make_eam_force_pallas_fused(geom, tables, ntypes,
                                         dtype=dtype, degree=degree,
                                         interpret=interpret,

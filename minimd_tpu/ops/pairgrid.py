@@ -19,6 +19,18 @@ import numpy as np
 
 from ..cells import CellGeometry
 
+# Candidate-pack lowering idiom (read at trace time; module-level so perf
+# experiments can A/B both programs in one session — scripts/exp_pack.py).
+# "slices": left/right rows are built as two x-axis concats, then
+#   lane-concatenated — the inner concats are materialized intermediates
+#   in tile-padded (minor dim C=40 -> 3.2x bytes) layout.
+# "padded": pad the x axis ONCE (gp = [wrap_l | g | wrap_r], +2 columns),
+#   then one 4-part lane concat of plain static slices of gp — the slices
+#   are fusible views, so the only materialized arrays are gp and the
+#   packed output. Bit-identical values either way (same elements, same
+#   shift arithmetic, different lowering).
+PACK_SRC = "slices"
+
 
 def halo_extent(geom: CellGeometry) -> int:
     """Stencil reach in cells (1 when binsize >= cutneigh)."""
@@ -158,9 +170,14 @@ def fused_lane_pack(nb_local, C: int, LANE: int, prd, exchanges, big: float):
             if c == 0:
                 wrap_l = wrap_l - prx
                 wrap_r = wrap_r + prx
-        left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
-        right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
-        parts = [left, g, right]
+        if PACK_SRC == "padded":
+            gp = jnp.concatenate([wrap_l, g, wrap_r], axis=2)
+            parts = [gp[:, :, 0:nbx], gp[:, :, 1:nbx + 1],
+                     gp[:, :, 2:nbx + 2]]
+        else:
+            left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
+            right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)
+            parts = [left, g, right]
         if LANE > 3 * C:
             parts.append(jnp.full((nbz, nby, nbx, LANE - 3 * C), big,
                                   g.dtype))

@@ -33,6 +33,20 @@ NOEV_FASTPATH = "auto"
 # A/B reason; same "auto" size gate — see run() below).
 TRIPLE_CARRY = "auto"
 
+# Half-kick velocity carry on the aligned fastpath: carry w = v + dtf*f
+# (the post-first-kick velocity) through the plain-step scan so step n's
+# second kick and step n+1's first kick — sequential adds of the SAME
+# dtf*f — run as one fused pass `(w + dtf*f) + dtf*f`, dropping one
+# (3, M) array round-trip per plain step. The reneigh step consumes
+# (x_drifted, w) exactly like the fused-step kernel's epilogue contract
+# (see interval_fused). NOT bit-identical: XLA contracts the merged
+# kick pair's mul+adds differently from the two separate kick fusions
+# (~1 ulp per kick pair, measured 4.8e-7 absolute x-drift after 20
+# steps on CPU), so shipping it as a default needs the trajectory
+# acceptance bar (scripts/run_tests.py --tpu), like recip=nr0. Default
+# OFF; measured via scripts/exp_wcarry.py.
+W_CARRY = False
+
 
 @dataclasses.dataclass
 class Simulation:
@@ -83,6 +97,7 @@ class Simulation:
         half_neigh: bool = False,
         fused_step: bool = False,
         eam_degree=None,
+        recip: str | None = None,
     ) -> "Simulation":
         prd, x_np, v_np, typ_np, mass = create.setup_system(
             inp, ntypes, potential_path)
@@ -91,7 +106,7 @@ class Simulation:
             dtype=dtype, nbins=nbins, capacity=capacity,
             cell_chunk=cell_chunk, potential_path=potential_path,
             backend=backend, half_neigh=half_neigh, fused_step=fused_step,
-            eam_degree=eam_degree)
+            eam_degree=eam_degree, recip=recip)
 
     @staticmethod
     def from_arrays(
@@ -111,11 +126,22 @@ class Simulation:
         backend: str = "auto",
         half_neigh: bool = False,
         fused_step: bool = False,
-        # EAM pair-table polynomial degrees: None = adaptive (fit-error
-        # driven, eam_file._DEFAULT_DEGREE); an int or {"R"/"G1"/"G2"/"P":
-        # int} dict PINS exact degrees — the accuracy-vs-throughput knob
-        # (validated at the trajectory level, scripts/exp_eam_degree.py)
+        # EAM pair-table polynomial degrees: None = the trajectory-
+        # validated hardware degrees on TPU f32 (eam_file.HARDWARE_DEGREE,
+        # G1/G2=18 R=19, +5.8% — passes the reference's acceptance
+        # criterion with margin) and the adaptive force-space-exact fit
+        # on CPU; "adaptive" forces the exact fit everywhere (the escape
+        # hatch, like recip="nr1"); an int or {"R"/"G1"/"G2"/"P": int}
+        # dict PINS exact degrees (the sweep knob,
+        # scripts/exp_eam_degree.py — d16/d14 are measured trajectory-
+        # level FAILURES, do not ship them)
         eam_degree=None,
+        # LJ Pallas reciprocal mode: None = the kernel default ("nr0" on
+        # hardware, trajectory-validated; "nr2" under interpret); "nr1"
+        # = one Newton refinement, f32-rounding-exact forces (~6% slower
+        # at 864k); "div" = the exact divide (debugging escape hatch).
+        # See ops/lj_pallas.py.
+        recip: str | None = None,
     ) -> "Simulation":
         """Build a Simulation from explicit, final state arrays — the
         checkpoint-resume entry (from_input reduces to this after setup).
@@ -146,7 +172,8 @@ class Simulation:
                     return make_lj_force_half(geom, params, dtype=dtype)
                 if Simulation._use_pallas(geom, params, dtype, backend):
                     from .ops.lj_pallas import make_lj_force_pallas
-                    return make_lj_force_pallas(geom, params, dtype=dtype)
+                    return make_lj_force_pallas(geom, params, dtype=dtype,
+                                                recip=recip)
                 from .ops.lj_grid import make_lj_force_grid
                 return make_lj_force_grid(geom, params, dtype=dtype)
         elif inp.forcetype == FORCE_EAM:
@@ -431,6 +458,8 @@ class Simulation:
             triple_on = (large if TRIPLE_CARRY == "auto" else TRIPLE_CARRY)
             triple = (triple_on and aligned and not self._fused_step
                       and getattr(force_noev, "accepts_triple", False))
+            wcarry_on = (large if W_CARRY == "auto" else W_CARRY)
+            wcarry = wcarry_on and aligned and not self._fused_step
 
             def plain_noev_triple(c, n):
                 del n
@@ -539,6 +568,59 @@ class Simulation:
                     c, row = reneigh_step(c, n0 + every - 1)
                     return c, jnp.concatenate([tr, row[None]], axis=0)
 
+                def interval_w(c, i):
+                    # W_CARRY: seed w = v + dtf*f (step n0's first kick),
+                    # then each scan iteration is drift / force / merged
+                    # double-kick; the trailing reneigh step receives
+                    # (x_drifted, w) — the same contract as the fused-step
+                    # epilogue (fused_reneigh above), so rebin + finish
+                    # are unchanged. Bit-identical to `interval`: the
+                    # double kick `(w + dtf*f) + dtf*f` is the same two
+                    # sequential adds the plain bodies execute.
+                    n0 = i * every
+                    x, v, f, typ = c
+                    if triple:
+                        x = tuple(x[j] for j in range(3))
+                        w = tuple(v[j] + dtf * f[j] for j in range(3))
+
+                        def body_t(cw, n):
+                            del n
+                            x, w = cw
+                            x = tuple(x[j] + dt * w[j] for j in range(3))
+                            f, _e, _v = force_noev(x, typ)
+                            w = tuple((w[j] + dtf * f[j]) + dtf * f[j]
+                                      for j in range(3))
+                            zero = jnp.zeros((), w[0].dtype)
+                            return (x, w), jnp.stack([zero] * 4)
+
+                        (x, w), tr = jax.lax.scan(
+                            body_t, (x, w), n0 + jnp.arange(every - 1))
+                        x = jnp.stack(x)
+                        w = jnp.stack(w)
+                    else:
+                        w = v + dtf * f
+
+                        def body(cw, n):
+                            del n
+                            x, w = cw
+                            x = x + dt * w
+                            f, _e, _v = force_noev(x, typ)
+                            w = (w + dtf * f) + dtf * f
+                            zero = jnp.zeros((), w.dtype)
+                            return (x, w), jnp.stack([zero] * 4)
+
+                        (x, w), tr = jax.lax.scan(
+                            body, (x, w), n0 + jnp.arange(every - 1))
+                    # the reneigh step minus its (already-applied) first
+                    # kick: drift, rebin, force_ev + second kick + row
+                    x = x + dt * w
+                    x, w, typ, ovf = rebin_fn(x, w, typ, geom)
+                    c, (t, u, p) = finish(x, w, typ, n0 + every - 1)
+                    row = jnp.stack([t, u, p, ovf.astype(t.dtype)])
+                    return c, jnp.concatenate([tr, row[None]], axis=0)
+
+                if wcarry:
+                    interval = interval_w
                 if self._fused_step:
                     interval = interval_fused
 

@@ -24,6 +24,14 @@ negative. f32 fit errors for context (relative to each function's scale):
   d16:      G1 4.7e-6   G2 6.7e-7
   d14:      G1 4.9e-5   G2 5.1e-6   (still below nr0's 1.02e-4 budget)
 
+OUTCOME (2026-08-19, on-chip, 4k/10000 + 16k/10000): d18 PASSES with
+margin (aggregates 0.020-0.287 vs the 0.38 bound) and SHIPPED as
+eam_file.HARDWARE_DEGREE; d16 FAILS (0.46-0.61) and d14 FAILS
+(0.72-0.91) — both sizes, T/E/P all over the bound. EAM trajectories
+are far more sensitive to the tables' coherent polynomial bias than LJ
+is to nr0's quasi-random reciprocal error. "base" below pins
+"adaptive" so the sweep keeps measuring against the pre-d18 baseline.
+
 Usage:
   python scripts/exp_eam_degree.py tp            # throughput sweep, 131k
   python scripts/exp_eam_degree.py acc d14 d16   # acceptance for configs
@@ -50,7 +58,7 @@ from minimd_tpu.config import builtin_deck  # noqa: E402
 from minimd_tpu.sim import Simulation  # noqa: E402
 
 CONFIGS = {
-    "base": None,
+    "base": "adaptive",
     "d18": {"G1": 18, "G2": 18, "R": 19},
     "d16": {"G1": 16, "G2": 16, "R": 19},
     "d14": {"G1": 14, "G2": 14, "R": 19},

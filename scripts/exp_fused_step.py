@@ -22,7 +22,10 @@ miscompile before timing.
 
 CAUTION (CLAUDE.md): a rebin-free force scan at 864k crashed the TPU
 worker twice in r2 — default is the 131k deck; pass --n 60 only if you
-accept that risk. Run: python scripts/exp_fused_step.py [--n 32]
+accept that risk, or --wired_only to skip the rebin-free scan and take
+just the production plain-vs-fused A/B (rebin included — the safe 864k
+measurement VERDICT r4 weak #3 asks for).
+Run: python scripts/exp_fused_step.py [--n 32] [--wired_only]
 """
 
 import argparse
@@ -69,6 +72,10 @@ def slope(fn, state, a=100, b=300, reps=3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--wired_only", action="store_true",
+                    help="skip the rebin-free scan (worker-crash risk at "
+                         "864k); measure only plain vs fused through the "
+                         "production run() loop")
     args = ap.parse_args()
 
     inp = builtin_deck("lj")
@@ -88,7 +95,7 @@ def main():
     print(f"plain (production run): {plain_ms:7.3f} ms/step", flush=True)
 
     params = LJParams.from_deck(1, inp.epsilon, inp.sigma, inp.force_cut)
-    for pack_mode in ("store", "concat"):
+    for pack_mode in () if args.wired_only else ("store", "concat"):
         s_ev, s_noev, seed = make_lj_step_pallas(
             sim.geom, params, float(inp.dt), sim.dtforce,
             pack_mode=pack_mode)

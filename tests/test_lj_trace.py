@@ -291,6 +291,21 @@ def test_lj_fused_pallas_kernel_matches_exact():
     assert np.abs(np.asarray(fkn)[:, valid]
                   - np.asarray(fpn)[:, valid]).max() == 0.0
 
+    # PACK_SRC="padded" (pad the x axis once, lane-concat fusible views
+    # instead of materializing left/right x-concat intermediates) is the
+    # same elements with the same shift arithmetic in a different
+    # lowering: bit-identical, not just close
+    from minimd_tpu.ops import pairgrid
+    assert pairgrid.PACK_SRC == "slices"   # default
+    try:
+        pairgrid.PACK_SRC = "padded"
+        pp_ev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
+                                     interpret=True, recip="div")[0]
+        fpp = jax.jit(pp_ev)(x32, typ)[0]
+        assert np.abs(np.asarray(fpp)[:, valid] - out["div"]).max() == 0.0
+    finally:
+        pairgrid.PACK_SRC = "slices"
+
     # sigma != 1 exercises the kernel's sig6-multiply branch (the shipped
     # decks all have sigma == 1, where the kernel skips the multiply)
     params_s = LJParams.from_deck(1, inp.epsilon, 1.1, inp.force_cut)
@@ -332,7 +347,12 @@ def test_triple_carry_bit_identical():
         return s
 
     old = sim_mod.TRIPLE_CARRY
+    old_noev = sim_mod.NOEV_FASTPATH
     try:
+        # force the aligned fastpath on: the "auto" size gates are all
+        # False at this grid, and triple/w-carry require `aligned` —
+        # without this the two runs compare the same plain path (vacuous)
+        sim_mod.NOEV_FASTPATH = True
         sim_mod.TRIPLE_CARRY = False
         a = build()
         tr_a = a.run(60)
@@ -341,11 +361,52 @@ def test_triple_carry_bit_identical():
         tr_b = b.run(60)
     finally:
         sim_mod.TRIPLE_CARRY = old
+        sim_mod.NOEV_FASTPATH = old_noev
     assert np.array_equal(tr_a, tr_b)
     for name in ("x", "v", "f"):
         assert np.array_equal(np.asarray(getattr(a.state, name)),
                               np.asarray(getattr(b.state, name))), name
     assert int(b.state.overflow) == 0
+
+
+def test_w_carry_drift_bounded():
+    """sim.W_CARRY merges step n's second kick with step n+1's first kick
+    into one fused pass over a carried half-kick velocity. The merged
+    `(w + dtf*f) + dtf*f` is the same two sequential adds, but XLA's FMA
+    contraction rounds the merged fusion differently (~1 ulp per kick
+    pair), so the flag is physics-identical, NOT bit-identical — this
+    test pins that contract: the trajectories must agree to a few-ulp
+    envelope over 3 reneigh intervals, and the flag must default OFF
+    (a default flip needs the trajectory acceptance bar, like nr0)."""
+    from minimd_tpu import sim as sim_mod
+
+    assert sim_mod.W_CARRY is False   # default: off until accepted
+
+    def run(wc):
+        sim_mod.NOEV_FASTPATH = True
+        sim_mod.W_CARRY = wc
+        inp = builtin_deck("lj")
+        inp.nx = inp.ny = inp.nz = 6
+        inp.thermo_nstat = 20
+        s = Simulation.from_input(inp, dtype=jnp.float32, backend="xla")
+        tr = s.run(60)
+        assert int(s.state.overflow) == 0
+        return np.asarray(s.state.x), np.asarray(s.state.v), np.asarray(tr)
+
+    old_noev, old_wc = sim_mod.NOEV_FASTPATH, sim_mod.W_CARRY
+    try:
+        ax, av, atr = run(False)
+        bx, bv, btr = run(True)
+    finally:
+        sim_mod.NOEV_FASTPATH = old_noev
+        sim_mod.W_CARRY = old_wc
+    # few-ulp rounding divergence (exact equality would also be fine —
+    # it would mean the toolchain contracted both forms identically),
+    # amplified mildly over 60 steps; a logic bug (missed/double kick)
+    # would show up at the dt*|v| ~ 1e-2 scale, 3+ orders above this
+    assert np.abs(bx - ax).max() < 1e-4
+    assert np.abs(bv - av).max() < 1e-4
+    assert np.abs(btr - atr).max() < 1e-3
 
 
 def test_lj_gather_variant_matches_grid():
