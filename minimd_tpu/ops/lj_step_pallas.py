@@ -54,8 +54,10 @@ deck, scripts/exp_fused_step.py). Mosaic accepts the kernel and the
 physics is right (interpret parity + run()-wiring tests pass, on-chip
 sanity checks pass), but the fused step measures ~2.58 ms vs the FULL
 plain production loop's 2.46 — the epilogue costs ~0.3 ms/step at 131k
-against ~0.17 ms of recoverable glue, and the gap only widens at 864k
-(epilogue scales with atoms; glue is ~1 ms of 19). BOTH pack idioms
+against ~0.17 ms of recoverable glue, and the gap only widens at 864k:
+measured THROUGH THE PRODUCTION run() on the r5 toolchain (2026-08-19,
+--wired_only, rebin included — the safe A/B): fused 19.92 vs plain
+18.49 ms/step, -7.7%. BOTH pack idioms
 measure identically (store 2.581 / concat 2.574), so the cost is not
 the concat relayout but the epilogue's narrow (nbx, C=40) vector work
 (rolls, kick FMAs, 5 output streams) on lanes the force loop never

@@ -106,7 +106,11 @@ def make_exchange_rebin(geom: CellGeometry, mesh: Mesh, dtype,
     # -> sort fallback.
     spans_ok = all(mesh.shape[n] > 1 or span[n] >= 3 for n in _AXES)
     use_pull = hops == 1 and spans_ok
-    on_cpu = jax.default_backend() == "cpu"
+    # keyed on the MESH devices, not jax.default_backend(): a CPU
+    # virtual mesh built while a TPU backend is default (e.g. the
+    # driver dryrun alongside a live axon plugin) must still get
+    # interpret-mode kernels
+    on_cpu = mesh.devices.flat[0].platform == "cpu"
     pallas_pull = use_pull and not on_cpu and dtype == jnp.float32
 
     # decomposed axes pad the pull window with DEAD cells: cross-device

@@ -249,7 +249,11 @@ def make_sharded_lj_run(
     spec1 = P("z", "y", "x", None)
     sharding = NamedSharding(mesh, spec)
 
-    on_cpu = jax.default_backend() == "cpu"
+    # keyed on the MESH devices, not jax.default_backend(): a CPU
+    # virtual mesh built while a TPU backend is default (e.g. the
+    # driver dryrun alongside a live axon plugin) must still get
+    # interpret-mode kernels
+    on_cpu = mesh.devices.flat[0].platform == "cpu"
     use_pallas = (backend != "xla" and dtype == jnp.float32
                   and params.uniform and h == 1 and not half_neigh
                   and (backend == "pallas" or not on_cpu))
@@ -417,7 +421,11 @@ def make_sharded_eam_run(
     exchange_rebin = make_exchange_rebin(geom, mesh, dtype,
                                         hops=exchange_hops,
                                         buf_cap=exchange_buf_cap)
-    on_cpu = jax.default_backend() == "cpu"
+    # keyed on the MESH devices, not jax.default_backend(): a CPU
+    # virtual mesh built while a TPU backend is default (e.g. the
+    # driver dryrun alongside a live axon plugin) must still get
+    # interpret-mode kernels
+    on_cpu = mesh.devices.flat[0].platform == "cpu"
     use_pallas = (backend != "xla" and dtype == jnp.float32 and h == 1
                   and not half_neigh
                   and (backend == "pallas" or not on_cpu))

@@ -78,33 +78,51 @@ def make_fma(reps: int):
     )
 
 
-def make_copy(nblocks: int):
-    # one pass: y = x + 1 over nblocks grid steps (HBM in + out per block)
+CB = 512  # copy-probe blocks: 512 x (256, 128) f32 = 64 MB resident
+
+
+def make_copy(reps: int):
+    # y = x + 1 over CB blocks, swept `reps` times (major grid dim), so
+    # the slope over reps isolates pure HBM read+write traffic (each
+    # grid step re-fetches its input block and flushes its output block
+    # — consecutive steps touch different blocks, so Mosaic cannot keep
+    # them resident). One rep moves 2 * 64 MB; the slope contrast must
+    # dwarf the ~0.5 ms axon-tunnel per-call noise, which a single-pass
+    # size sweep does not (measured: negative slopes).
     def kernel(x_ref, o_ref):
         o_ref[...] = x_ref[...] + 1.0
 
     return pl.pallas_call(
         kernel,
-        grid=(nblocks,),
-        in_specs=[pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+        grid=(reps, CB),
+        in_specs=[pl.BlockSpec((SUB, LANE), lambda r, i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((SUB, LANE), lambda r, i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nblocks * SUB, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((CB * SUB, LANE), jnp.float32),
         interpret=args.interpret,
     )
 
 
-def slope(make, a, b, x_of, fetch, reps=3):
+def slope(make, a, b, x0, fetch, reps=5):
+    # EVOLVING carry: each call consumes the previous call's output —
+    # identical-input repeats are served from the axon result cache
+    # (CLAUDE.md) and time at ~0 (measured: a cached run reported
+    # 19 TB/s "HBM bandwidth"). MEDIAN of slopes, not min: a tunnel
+    # hiccup inflating the SHORT leg fabricates an impossibly fast
+    # slope, and min selects exactly those (measured: 6 TFMA/s); the
+    # legs are also sized ~50-150 ms (see callers) so a ~10 ms hiccup
+    # cannot dominate either one.
     fa, fb = jax.jit(make(a)), jax.jit(make(b))
-    ra = fa(x_of(a)); fetch(ra)
-    rb = fb(x_of(b)); fetch(rb)
-    best = float("inf")
+    x = fa(x0); fetch(x)
+    x = fb(x); fetch(x)
+    ss = []
     for _ in range(reps):
-        t0 = time.time(); fetch(fa(x_of(a))); ta = time.time() - t0
-        t0 = time.time(); fetch(fb(x_of(b))); tb = time.time() - t0
-        best = min(best, (tb - ta) / (b - a))
-    return best
+        t0 = time.time(); x = fa(x); fetch(x); ta = time.time() - t0
+        t0 = time.time(); x = fb(x); fetch(x); tb = time.time() - t0
+        ss.append((tb - ta) / (b - a))
+    ss.sort()
+    return ss[len(ss) // 2]
 
 
 def main():
@@ -112,18 +130,18 @@ def main():
     xf = jnp.asarray(rng.random((G * SUB, LANE), np.float32))
     fetch = lambda r: float(np.asarray(jax.device_get(r[0, 0])))
 
-    a, b = (2, 4) if args.interpret else (200, 600)
-    s = slope(make_fma, a, b, lambda _r: xf, fetch)
+    a, b = (2, 4) if args.interpret else (2000, 6000)
+    s = slope(make_fma, a, b, xf, fetch)
     fma_gops = G * SUB * LANE * DEPTH / s / 1e9
     print(f"fma:  {s * 1e6:9.2f} us/rep  -> {fma_gops:9.1f} GFMA/s", flush=True)
 
-    # copy probe: vary block count (HBM traffic scales, fixed cost cancels)
-    ca, cb = (4, 8) if args.interpret else (512, 2048)
-    xc_big = jnp.asarray(rng.random((cb * SUB, LANE), np.float32))
-    xs = {ca: xc_big[:ca * SUB], cb: xc_big}
-    s = slope(make_copy, ca, cb, lambda r: xs[r], fetch)
-    copy_gbps = 2 * SUB * LANE * 4 / s / 1e9
-    print(f"copy: {s * 1e6:9.3f} us/block -> {copy_gbps:9.1f} GB/s", flush=True)
+    # copy probe: vary the in-grid rep count (traffic scales with reps,
+    # per-call fixed cost cancels in the slope)
+    ca, cb = (2, 4) if args.interpret else (100, 400)
+    xc = jnp.asarray(rng.random((CB * SUB, LANE), np.float32))
+    s = slope(make_copy, ca, cb, xc, fetch)
+    copy_gbps = 2 * CB * SUB * LANE * 4 / s / 1e9
+    print(f"copy: {s * 1e6:9.3f} us/rep -> {copy_gbps:9.1f} GB/s", flush=True)
 
     print(json.dumps({"fma_gops": round(fma_gops, 1),
                       "copy_gbps": round(copy_gbps, 1)}))
