@@ -28,8 +28,12 @@ from ..cells import CellGeometry
 #   then one 4-part lane concat of plain static slices of gp — the slices
 #   are fusible views, so the only materialized arrays are gp and the
 #   packed output. Bit-identical values either way (same elements, same
-#   shift arithmetic, different lowering).
-PACK_SRC = "slices"
+#   shift arithmetic, different lowering; tests/test_lj_trace.py asserts).
+# "padded" is the production default: measured same-session A/B
+# (scripts/exp_pack.py, 2026-08-19 r5 toolchain) +2.4% whole-step at 131k
+# (52.96 -> 54.25 Matom-steps/s) and +0.3% at 864k (46.89 -> 47.04) —
+# the intermediates it removes are a larger fraction of the smaller step.
+PACK_SRC = "padded"
 
 
 def halo_extent(geom: CellGeometry) -> int:

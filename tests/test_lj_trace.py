@@ -292,19 +292,20 @@ def test_lj_fused_pallas_kernel_matches_exact():
                   - np.asarray(fpn)[:, valid]).max() == 0.0
 
     # PACK_SRC="padded" (pad the x axis once, lane-concat fusible views
-    # instead of materializing left/right x-concat intermediates) is the
-    # same elements with the same shift arithmetic in a different
-    # lowering: bit-identical, not just close
+    # instead of materializing left/right x-concat intermediates — the
+    # production default, +2.4% at 131k) is the same elements with the
+    # same shift arithmetic in a different lowering: bit-identical to the
+    # "slices" idiom, not just close
     from minimd_tpu.ops import pairgrid
-    assert pairgrid.PACK_SRC == "slices"   # default
+    assert pairgrid.PACK_SRC == "padded"   # production default
     try:
-        pairgrid.PACK_SRC = "padded"
+        pairgrid.PACK_SRC = "slices"
         pp_ev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
                                      interpret=True, recip="div")[0]
         fpp = jax.jit(pp_ev)(x32, typ)[0]
         assert np.abs(np.asarray(fpp)[:, valid] - out["div"]).max() == 0.0
     finally:
-        pairgrid.PACK_SRC = "slices"
+        pairgrid.PACK_SRC = "padded"
 
     # sigma != 1 exercises the kernel's sig6-multiply branch (the shipped
     # decks all have sigma == 1, where the kernel skips the multiply)
