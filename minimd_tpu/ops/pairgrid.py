@@ -29,6 +29,11 @@ from ..cells import CellGeometry
 #   are fusible views, so the only materialized arrays are gp and the
 #   packed output. Bit-identical values either way (same elements, same
 #   shift arithmetic, different lowering; tests/test_lj_trace.py asserts).
+# "flat": same as "padded" but the x padding happens in a COLLAPSED
+#   (nbz, nby, nbx*C) view — that layout tile-pads to ~1.3x bytes where
+#   the 4D (…, nbx, C) forms pad to ~3.7x, so the materialized seg array
+#   is ~3x smaller than gp; the per-part minor-dim split reshapes are the
+#   gamble (they fuse into the lane concat, or they materialize and lose).
 # "padded" is the production default: measured same-session A/B
 # (scripts/exp_pack.py, 2026-08-19 r5 toolchain) +2.4% whole-step at 131k
 # (52.96 -> 54.25 Matom-steps/s) and +0.3% at 864k (46.89 -> 47.04) —
@@ -178,6 +183,13 @@ def fused_lane_pack(nb_local, C: int, LANE: int, prd, exchanges, big: float):
             gp = jnp.concatenate([wrap_l, g, wrap_r], axis=2)
             parts = [gp[:, :, 0:nbx], gp[:, :, 1:nbx + 1],
                      gp[:, :, 2:nbx + 2]]
+        elif PACK_SRC == "flat":
+            r2 = g.reshape(nbz, nby, nbx * C)
+            seg = jnp.concatenate(
+                [wrap_l.reshape(nbz, nby, C), r2,
+                 wrap_r.reshape(nbz, nby, C)], axis=2)
+            parts = [seg[:, :, k * C: k * C + nbx * C]
+                     .reshape(nbz, nby, nbx, C) for k in (0, 1, 2)]
         else:
             left = jnp.concatenate([wrap_l, g[:, :, :nbx - 1]], axis=2)
             right = jnp.concatenate([g[:, :, 1:], wrap_r], axis=2)

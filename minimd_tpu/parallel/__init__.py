@@ -154,6 +154,18 @@ class ShardedSimulation:
             and migration-buffer grow-and-retry paths (the reference's
             bin-resize semantics, neighbor.cpp:241-261, and
             growsend/growrecv, comm.cpp:887-909)."""
+            # force0 (initial forces + the step-0 thermo row) rides the
+            # SAME production kernel selection as the single-device
+            # Simulation — on TPU that is the Pallas kernel with its nr0
+            # reciprocal / hardware EAM tables. Using the exact XLA grid
+            # here (the pre-r4 choice) left the sharded step-0 row ~1.5e-5
+            # off the single-device one once nr0 landed (caught by
+            # tpu_sharded_check's step-0 parity assert, 2026-08-19).
+            import numpy as _np
+            on_cpu0 = jax.default_backend() == "cpu"
+            pallas0 = (backend != "xla" and dtype == jnp.float32
+                       and int(_np.abs(geom.stencil).max()) == 1
+                       and not on_cpu0 and not half_neigh)
             if inp.forcetype == FORCE_LJ:
                 params = LJParams.from_deck(ntypes, inp.epsilon, inp.sigma,
                                             inp.force_cut)
@@ -164,7 +176,12 @@ class ShardedSimulation:
                     dtype=dtype, exchange_hops=hops,
                     exchange_buf_cap=buf_cap, backend=backend,
                     half_neigh=half_neigh)
-                force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
+                if pallas0 and params.uniform:
+                    from ..ops.lj_pallas import make_lj_force_pallas
+                    force0 = make_lj_force_pallas(geom, params,
+                                                  dtype=dtype)[0]
+                else:
+                    force0 = make_lj_force_grid(geom, params, dtype=dtype)[0]
             else:
                 run_fn, _ = make_sharded_eam_run(
                     geom, tables, mesh, scales, mass=mass, dt=inp.dt,
@@ -173,8 +190,14 @@ class ShardedSimulation:
                     dtype=dtype, exchange_hops=hops,
                     exchange_buf_cap=buf_cap, backend=backend,
                     half_neigh=half_neigh)
-                from ..ops.eam_grid import make_eam_force_grid
-                force0 = make_eam_force_grid(geom, tables, dtype=dtype)[0]
+                if pallas0 and backend != "grid":
+                    from ..ops.eam_pallas import make_eam_force_pallas
+                    force0 = make_eam_force_pallas(geom, tables,
+                                                   dtype=dtype)[0]
+                else:
+                    from ..ops.eam_grid import make_eam_force_grid
+                    force0 = make_eam_force_grid(geom, tables,
+                                                 dtype=dtype)[0]
             return run_fn, force0
 
         run_fn, force0 = rebuild(geom)

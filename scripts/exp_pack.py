@@ -55,7 +55,8 @@ def main():
     args = ap.parse_args()
 
     out = {}
-    for src in ("slices", "padded"):   # baseline FIRST (CLAUDE.md)
+    # production default FIRST (the baseline wins only count same-session)
+    for src in ("padded", "flat", "slices"):
         pairgrid.PACK_SRC = src
         inp = builtin_deck(args.style)
         inp.nx = inp.ny = inp.nz = args.n
@@ -63,8 +64,9 @@ def main():
         out[src] = slope(sim, args.a, args.b, args.reps)
         print(f"[{args.style} -s {args.n} pack_src={src}] "
               f"{out[src]:.2f} Matom-steps/s", flush=True)
-    base = out["slices"]
-    print(f"--- padded vs slices: {(out['padded'] / base - 1) * 100:+.1f}%")
+    base = out["padded"]
+    for src in ("flat", "slices"):
+        print(f"--- {src} vs padded: {(out[src] / base - 1) * 100:+.1f}%")
 
 
 if __name__ == "__main__":

@@ -79,17 +79,20 @@ def main():
     check("eam", 10, 60, 1e-3)
     # the mesh path must be known-FAST, not just known-correct: on one
     # chip the sharded program is the single-device program plus
-    # shard_map plumbing + the migration/halo machinery, and should stay
-    # within ~35% of Simulation's per-step slope (measured headroom over
-    # the interval-chunked scan's extra rebin work; a structural
+    # shard_map plumbing + the migration/halo machinery. Measured on the
+    # r5 toolchain (2026-08-19): ratio 1.03 at this -s 16 / nstat=1
+    # config (both programs pay per-step thermo, so the sharded overhead
+    # disappears into it), 0.768 at the 131k bench config (nstat=100;
+    # bench.py's sharded_1chip_ratio companion carries it on the
+    # record). Threshold = measured-minus-margin: a structural
     # regression — e.g. a halo exchange falling off the fused path —
-    # shows up as 2x+, far outside this band).
+    # shows up as 2x+, far below this band.
     th_s = throughput_slope(ssim)
     th_1 = throughput_slope(sim)
     print(f"throughput lj -s 16: sharded {th_s:.1f} vs single {th_1:.1f} "
           f"Matom-steps/s (ratio {th_s / th_1:.2f})")
-    assert th_s > 0.65 * th_1, \
-        f"sharded-on-1-chip slope {th_s:.1f} < 65% of Simulation {th_1:.1f}"
+    assert th_s > 0.80 * th_1, \
+        f"sharded-on-1-chip slope {th_s:.1f} < 80% of Simulation {th_1:.1f}"
     print("PASS: sharded path compiled + ran on TPU, parity with Simulation")
 
 

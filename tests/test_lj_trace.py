@@ -299,11 +299,13 @@ def test_lj_fused_pallas_kernel_matches_exact():
     from minimd_tpu.ops import pairgrid
     assert pairgrid.PACK_SRC == "padded"   # production default
     try:
-        pairgrid.PACK_SRC = "slices"
-        pp_ev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
-                                     interpret=True, recip="div")[0]
-        fpp = jax.jit(pp_ev)(x32, typ)[0]
-        assert np.abs(np.asarray(fpp)[:, valid] - out["div"]).max() == 0.0
+        for src in ("slices", "flat"):
+            pairgrid.PACK_SRC = src
+            pp_ev = make_lj_force_pallas(geom, params, dtype=jnp.float32,
+                                         interpret=True, recip="div")[0]
+            fpp = jax.jit(pp_ev)(x32, typ)[0]
+            assert np.abs(np.asarray(fpp)[:, valid]
+                          - out["div"]).max() == 0.0, src
     finally:
         pairgrid.PACK_SRC = "padded"
 
