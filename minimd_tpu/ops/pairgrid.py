@@ -34,6 +34,10 @@ from ..cells import CellGeometry
 #   the 4D (…, nbx, C) forms pad to ~3.7x, so the materialized seg array
 #   is ~3x smaller than gp; the per-part minor-dim split reshapes are the
 #   gamble (they fuse into the lane concat, or they materialize and lose).
+#   MEASURED NEGATIVE: -2.1% vs "padded" at 864k (46.13 vs 47.14,
+#   same-session 3-way, 2026-08-20) — the reshapes materialize; the
+#   smaller seg does not pay for three relayout copies. Kept as a
+#   bit-parity-tested option so the idea isn't re-walked.
 # "padded" is the production default: measured same-session A/B
 # (scripts/exp_pack.py, 2026-08-19 r5 toolchain) +2.4% whole-step at 131k
 # (52.96 -> 54.25 Matom-steps/s) and +0.3% at 864k (46.89 -> 47.04) —

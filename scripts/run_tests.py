@@ -168,8 +168,11 @@ def main():
             # eam 20/10000: post-ramp-dominated trace passes in f32
             # (0.28 aggregate); eam 40 stays at 1000 steps because the
             # 10000-step 256k EAM scan reproducibly crashes the axon TPU
-            # worker (2/2 attempts, "kernel fault") - and is XFAIL per
-            # the parity evidence below either way.
+            # worker ("kernel fault": 2/2 attempts on the r4 toolchain
+            # 2026-08-17, retested 2026-08-20 on the r5 toolchain after
+            # the cache wipe and it STILL faults, 3/3 — not healed by
+            # recompilation) - and is XFAIL per the parity evidence
+            # below either way.
             cases = [("lj", 40, 2000), ("lj", 60, 1000),
                      ("eam", 20, 10000), ("eam", 40, 1000)]
         else:
