@@ -70,19 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "~2x slower on TPU, parity option); "
                         "0 = full stencils")
     p.add_argument("-gn", "--ghost_newton", type=int, default=1,
-                   help="reference semantics: with half lists, 1 = apply "
-                        "Newton's 3rd law across rank boundaries (forces on "
-                        "ghosts reverse-communicated), 0 = duplicate "
-                        "boundary pairs on both owners instead "
-                        "(ljs.cpp:205-206, force_lj.cpp:239-249). This "
-                        "build's --half_neigh 1 always implements the "
-                        "gn=1 fold: the reverse communication is a dense "
-                        "slab ppermute riding ICI (~us), while gn=0's "
-                        "duplicate boundary-pair evaluation costs full "
-                        "extra kernel lanes — the message-avoidance trade "
-                        "gn=0 exists for never pays on a TPU mesh. "
-                        "-gn 0 prints this mapping and proceeds with "
-                        "identical physics")
+                   help="reference semantics (ljs.cpp:205-206): with half "
+                        "lists (--half_neigh 1), 1 = apply Newton's 3rd "
+                        "law across rank boundaries (forces on ghosts "
+                        "reverse-communicated, comm.cpp:320-361), 0 = "
+                        "duplicate boundary pairs on both owners at half "
+                        "eng/vir weight with no reverse communication "
+                        "(force_lj.cpp:239-249). LJ implements both; with "
+                        "full stencils the flag has no effect (the "
+                        "reference's compute_fullneigh ignores it too)")
     p.add_argument("-sse", type=int, default=0, help="[no-op]")
     p.add_argument("-d", "--device", type=int, default=0,
                    help="[no-op on TPU] reference GPU device id")
@@ -143,10 +139,12 @@ def banner(inp: In, sim, args, input_file):
     print(f"\t# Timestep size: {inp.dt:f}")
     print("# Technical Settings: ")
     print(f"\t# Neigh cutoff: {inp.neigh_cut:f}")
+    print(f"\t# Half neighborlists: {1 if args.half_neigh == 1 else 0}")
     print(f"\t# Cell grid: {sim.geom.nb[0]} {sim.geom.nb[1]} {sim.geom.nb[2]} "
           f"(capacity {sim.geom.capacity})")
     print(f"\t# Neighbor frequency: {inp.neigh_every}")
     print(f"\t# Thermo frequency: {inp.thermo_nstat}")
+    print(f"\t# Ghost Newton: {args.ghost_newton}")
     print(f"\t# Backend: {args.backend}")
     print(f"\t# Size of float: {4 if args.precision == 1 else 8}")
     print()
@@ -160,12 +158,12 @@ def main(argv=None):
               "mode) has no TPU analog; using full stencils. Supported: "
               "0 (full, default) and 1 (Newton half-neighbor).")
     if args.ghost_newton == 0 and args.half_neigh == 1:
-        print("# Note: -gn 0 maps to the gn=1 ghost-Newton fold on this "
-              "build (identical physics — the same pair sums, decomposed "
-              "differently): the reverse force communication gn=0 avoids "
-              "is a dense slab ppermute over ICI here, strictly cheaper "
-              "than gn=0's duplicate boundary-pair evaluation "
-              "(ref force_lj.cpp:239-249, ljs.cpp:225-228).")
+        print("# Note: -gn 0 duplicates boundary pairs on both owners at "
+              "half eng/vir weight and skips the reverse force "
+              "communication (ref force_lj.cpp:239-249); identical "
+              "physics to the gn=1 fold, decomposed differently. On a "
+              "TPU mesh the fold is a dense slab ppermute over ICI "
+              "(~us), so gn=1 is the faster default here.")
     if args.sse:
         print("ERROR: -sse applies to the miniMD-SSE CPU variant only. Exiting.")
         sys.exit(0)
@@ -187,10 +185,20 @@ def main(argv=None):
 
     print("# Create System:")
     nbins = (args.neigh_bins,) * 3 if args.neigh_bins > 0 else None
+    from .config import FORCE_EAM as _EAM
+    if (args.half_neigh == 1 and inp.forcetype == _EAM
+            and args.ghost_newton == 0):
+        # the reference FORCES gn=0 for EAM (ljs.cpp:277-281); this
+        # build's EAM half path implements the Newton fold instead
+        # (identical physics — ops/eam_half.py), so -gn has no effect
+        print("# Note: the EAM half-neighbor path uses the ghost-Newton "
+              "fold regardless of -gn (identical physics; the reference "
+              "forces gn=0 for EAM, ljs.cpp:277-281).")
     sim = Simulation.from_input(
         inp, ntypes=args.ntypes, dtype=dtype, nbins=nbins,
         capacity=args.capacity, backend=args.backend,
         half_neigh=(args.half_neigh == 1),
+        ghost_newton=(args.ghost_newton != 0),
     )
     print("# Done .... ")
     banner(inp, sim, args, args.input_file)
@@ -270,7 +278,8 @@ def main_sharded(args, inp, dtype):
                                         safe_exchange=args.safe_exchange,
                                         backend=args.backend,
                                         capacity=args.capacity,
-                                        half_neigh=(args.half_neigh == 1))
+                                        half_neigh=(args.half_neigh == 1),
+                                        ghost_newton=(args.ghost_newton != 0))
     print("# Done .... ")
     banner(inp, ssim, args, args.input_file)
     print(f"# Mesh: {dict(ssim.mesh.shape)}")

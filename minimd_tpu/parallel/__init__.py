@@ -58,6 +58,7 @@ class ShardedSimulation:
     def from_input(inp, devices=None, *, dtype=None, nbins=None,
                    safe_exchange=False, ntypes: int = 4, backend: str = "auto",
                    capacity: int | None = None, half_neigh: bool = False,
+                   ghost_newton: bool = True,
                    potential_path: str | None = None,
                    cell_chunk: int | None = None,
                    exchange_buf_cap: int | None = None):
@@ -71,6 +72,7 @@ class ShardedSimulation:
             inp, prd, x_np, v_np, typ_np, mass, devices=devices,
             dtype=dtype, nbins=nbins, safe_exchange=safe_exchange,
             backend=backend, capacity=capacity, half_neigh=half_neigh,
+            ghost_newton=ghost_newton,
             potential_path=potential_path, cell_chunk=cell_chunk,
             exchange_buf_cap=exchange_buf_cap)
 
@@ -79,6 +81,7 @@ class ShardedSimulation:
                     dtype=None, nbins=None, safe_exchange=False,
                     backend: str = "auto", capacity: int | None = None,
                     row0=None, half_neigh: bool = False,
+                    ghost_newton: bool = True,
                     potential_path: str | None = None,
                     cell_chunk: int | None = None,
                     exchange_buf_cap: int | None = None):
@@ -175,7 +178,7 @@ class ShardedSimulation:
                     neigh_every=inp.neigh_every, nstat=inp.thermo_nstat,
                     dtype=dtype, exchange_hops=hops,
                     exchange_buf_cap=buf_cap, backend=backend,
-                    half_neigh=half_neigh)
+                    half_neigh=half_neigh, ghost_newton=ghost_newton)
                 if pallas0 and params.uniform:
                     from ..ops.lj_pallas import make_lj_force_pallas
                     force0 = make_lj_force_pallas(geom, params,

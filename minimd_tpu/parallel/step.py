@@ -215,6 +215,7 @@ def make_sharded_lj_run(
     exchange_buf_cap: int | None = None,
     backend: str = "auto",
     half_neigh: bool = False,
+    ghost_newton: bool = True,
 ):
     """Full sharded run loop: lax.scan over timesteps with in-scan atom
     migration on the reneighbor cadence (the complete multi-chip analog of
@@ -231,7 +232,13 @@ def make_sharded_lj_run(
     --half_neigh 1 + ghost-newton path): forward halos as usual, j-side
     accumulations returned to their owners through _make_folds hooks (the
     reverse_communicate analog). XLA path only; measured slower on TPU
-    like the single-device half kernels."""
+    like the single-device half kernels.
+
+    ghost_newton=False (reference `-gn 0`, only with half_neigh): ghost
+    pairs are evaluated by both owning devices at half eng/vir weight and
+    NO reverse fold ppermutes run at all (integrate.cpp:188-193) — the
+    message-avoidance variant the reference defaults MPI runs away from
+    but ships; see ops/lj_half.py."""
     from .comm import make_exchange_rebin
 
     nb_local = local_grid_shape(geom, mesh)
@@ -264,10 +271,11 @@ def make_sharded_lj_run(
             nb_local=(lx, ly, lz), exchanges=exchanges)
     if half_neigh:
         from ..ops.lj_half import make_lj_force_half
-        folds = _make_folds(mesh, h, nb_local)
+        # gn=0 never reverse-communicates: no fold hooks exist at all
+        folds = _make_folds(mesh, h, nb_local) if ghost_newton else None
         h_ev, h_noev = make_lj_force_half(
             geom, params, dtype=dtype, nb_local=(lx, ly, lz),
-            exchanges=exchanges, folds=folds)
+            exchanges=exchanges, folds=folds, ghost_newton=ghost_newton)
 
     def local_force(x_flat, typ_flat, evflag=True):
         """(3, M_local) flat positions -> (flat forces, eng, vir)."""

@@ -95,6 +95,7 @@ class Simulation:
         potential_path: str | None = None,
         backend: str = "auto",   # 'auto' | 'pallas' | 'xla'
         half_neigh: bool = False,
+        ghost_newton: bool = True,
         fused_step: bool = False,
         eam_degree=None,
         recip: str | None = None,
@@ -105,7 +106,8 @@ class Simulation:
             inp, prd, x_np, v_np, typ_np, mass, ntypes=ntypes,
             dtype=dtype, nbins=nbins, capacity=capacity,
             cell_chunk=cell_chunk, potential_path=potential_path,
-            backend=backend, half_neigh=half_neigh, fused_step=fused_step,
+            backend=backend, half_neigh=half_neigh,
+            ghost_newton=ghost_newton, fused_step=fused_step,
             eam_degree=eam_degree, recip=recip)
 
     @staticmethod
@@ -125,6 +127,12 @@ class Simulation:
         potential_path: str | None = None,
         backend: str = "auto",
         half_neigh: bool = False,
+        # reference `-gn` semantics (only meaningful with half_neigh):
+        # True = Newton's 3rd law across boundaries, ghost forces folded
+        # back (reverse_communicate); False = duplicate boundary-pair
+        # evaluation at 0.5 eng/vir weight, no reverse fold
+        # (ref force_lj.cpp:239-249, integrate.cpp:188-193)
+        ghost_newton: bool = True,
         fused_step: bool = False,
         # EAM pair-table polynomial degrees: None = the trajectory-
         # validated hardware degrees on TPU f32 (eam_file.HARDWARE_DEGREE,
@@ -167,9 +175,12 @@ class Simulation:
                 if half_neigh:
                     # Newton parity option (ref force_lj.cpp:185-263);
                     # measured ~2x slower than full stencils on TPU, kept
-                    # for --half_neigh 1 parity (SURVEY.md P7)
+                    # for --half_neigh 1 parity (SURVEY.md P7).
+                    # ghost_newton=False is the reference's -gn 0
+                    # duplicate-boundary-pair variant (force_lj.cpp:239-249)
                     from .ops.lj_half import make_lj_force_half
-                    return make_lj_force_half(geom, params, dtype=dtype)
+                    return make_lj_force_half(geom, params, dtype=dtype,
+                                              ghost_newton=ghost_newton)
                 if Simulation._use_pallas(geom, params, dtype, backend):
                     from .ops.lj_pallas import make_lj_force_pallas
                     return make_lj_force_pallas(geom, params, dtype=dtype,

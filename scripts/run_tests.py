@@ -25,7 +25,7 @@ SIZES = {10: "4k", 16: "16k", 20: "32k", 30: "108k", 40: "256k", 60: "864k"}
 
 
 def run_case(input_name, size, steps, precision, backend, devices=1,
-             half_neigh=False):
+             half_neigh=False, ghost_newton=True):
     import jax
     import jax.numpy as jnp
 
@@ -77,10 +77,12 @@ def run_case(input_name, size, steps, precision, backend, devices=1,
             return None, f"only {len(jax.devices())} devices available"
         sim = ShardedSimulation.from_input(inp, devices=jax.devices()[:devices],
                                            dtype=dtype, backend=backend,
-                                           half_neigh=half_neigh)
+                                           half_neigh=half_neigh,
+                                           ghost_newton=ghost_newton)
     else:
         sim = Simulation.from_input(inp, dtype=dtype, backend=backend,
-                                    half_neigh=half_neigh)
+                                    half_neigh=half_neigh,
+                                    ghost_newton=ghost_newton)
     trace = sim.run(steps)
     rows = sim.thermo_trace(trace)
     res = compare_traces(rows, golden.rows, natoms=sim.natoms,
@@ -104,6 +106,10 @@ def main():
                          "sweep, ref/run_tests:62-150)")
     ap.add_argument("--half_neigh", type=int, default=0, choices=[0, 1],
                     help="1 = sweep the Newton half-neighbor force paths")
+    ap.add_argument("--ghost_newton", type=int, default=1, choices=[0, 1],
+                    help="with --half_neigh 1: 0 sweeps the reference's "
+                         "-gn 0 duplicate-boundary-pair variant (LJ; "
+                         "force_lj.cpp:239-249) instead of the Newton fold")
     args = ap.parse_args()
 
     if args.devices > 1:
@@ -197,10 +203,13 @@ def main():
     for input_name, size, steps in cases:
         res, skip = run_case(input_name, size, steps, precision, backend,
                              devices=args.devices,
-                             half_neigh=bool(args.half_neigh))
+                             half_neigh=bool(args.half_neigh),
+                             ghost_newton=bool(args.ghost_newton))
         tag = (f"{input_name} -s {size} -n {steps} (precision {precision}"
                + (f", devices {args.devices}" if args.devices > 1 else "")
-               + (", half_neigh" if args.half_neigh else "") + ")")
+               + (", half_neigh" if args.half_neigh else "")
+               + (", gn=0" if args.half_neigh and not args.ghost_newton
+                  else "") + ")")
         if skip:
             print(f"SKIP   {tag}: {skip}")
             continue

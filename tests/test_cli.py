@@ -188,13 +188,32 @@ def test_cli_eam_half_neigh_runs():
     assert "0 6.000000e+02" in out
 
 
-def test_cli_ghost_newton_mapping_notice():
-    """-gn 0 with half lists prints the exact semantics mapping (round-3
-    VERDICT #8): this build always implements the gn=1 ghost-Newton fold,
-    with the rationale; physics runs identically."""
-    out = _run(["-s", "6", "-n", "5", "--half_neigh", "1", "-gn", "0"])
-    assert "-gn 0 maps to the gn=1 ghost-Newton fold" in out
-    assert "PERF_SUMMARY" in out
-    # gn=1 (the reference default, also ours) stays silent
-    out = _run(["-s", "6", "-n", "5", "--half_neigh", "1", "-gn", "1"])
-    assert "maps to the gn=1" not in out
+def test_cli_ghost_newton_variants():
+    """-gn selects the real reference semantics with half lists [r5]:
+    gn=1 = Newton fold (reverse-communicate analog), gn=0 = duplicate
+    boundary pairs at half eng/vir weight, no reverse fold
+    (ref force_lj.cpp:239-249). Both must produce the same physics: the
+    step-0 thermo rows agree and the banner reports the flag."""
+    out0 = _run(["-s", "6", "-n", "5", "--half_neigh", "1", "-gn", "0",
+                 "--precision", "2"])
+    assert "duplicates boundary pairs" in out0
+    assert "# Ghost Newton: 0" in out0
+    assert "PERF_SUMMARY" in out0
+    out1 = _run(["-s", "6", "-n", "5", "--half_neigh", "1", "-gn", "1",
+                 "--precision", "2"])
+    assert "duplicates boundary pairs" not in out1
+    assert "# Ghost Newton: 1" in out1
+
+    def rows(out):
+        return [ln for ln in out.splitlines()
+                if ln and ln[0].isdigit()]
+
+    # identical physics: f64 thermo rows match to printed precision
+    # (the decompositions differ only in summation grouping)
+    r0, r1 = rows(out0), rows(out1)
+    assert r0[0] == r1[0]          # step-0 row exact
+    for a, b in zip(r0[1:], r1[1:]):
+        ta, tb = a.split(), b.split()
+        for va, vb in zip(ta[1:4], tb[1:4]):
+            assert abs(float(va) - float(vb)) <= 1e-9 * max(
+                1.0, abs(float(vb)))

@@ -665,20 +665,26 @@ def test_sharded_half_neighbor_matches_full():
     gs1 = (nbz, nby, nbx, geom.capacity)
     sh1 = NamedSharding(mesh, P("z", "y", "x", None))
     traces = {}
-    for half in (False, True):
+    # full stencils, half+gn=1 (Newton folds), half+gn=0 (duplicate
+    # boundary pairs at 0.5 weight, NO reverse ppermutes — the
+    # reference's `-gn 0`, force_lj.cpp:239-249) [r5]
+    for mode in ("full", "half_gn1", "half_gn0"):
         run, sharding = make_sharded_lj_run(
             geom, params, mesh, sc, mass=1.0, dt=inp.dt,
             dtforce=0.5 * inp.dt, natoms=natoms,
             neigh_every=inp.neigh_every, nstat=1, dtype=jnp.float64,
-            backend="xla", half_neigh=half)
+            backend="xla", half_neigh=mode.startswith("half"),
+            ghost_newton=mode != "half_gn0")
         args = [jax.device_put(np.asarray(a).reshape(gs), sharding)
                 for a in (st.x, st.v, f0)]
         targ = jax.device_put(np.asarray(st.typ).reshape(gs1), sh1)
         varg = jax.device_put(np.asarray(st.valid).reshape(gs1), sh1)
         *_, ovf, tr = run(*args, targ, varg, 4)
         assert int(np.asarray(ovf).sum()) == 0
-        traces[half] = np.asarray(tr)
-    np.testing.assert_allclose(traces[True], traces[False],
+        traces[mode] = np.asarray(tr)
+    np.testing.assert_allclose(traces["half_gn1"], traces["full"],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(traces["half_gn0"], traces["full"],
                                rtol=1e-12, atol=1e-12)
 
     from minimd_tpu.ops.eam import EAMTables
