@@ -102,16 +102,28 @@ def choose_grid(prd, cutneigh: float, nbins=None) -> tuple[int, int, int]:
 
 
 def autotune_grid(prd, cutneigh: float, positions: np.ndarray,
-                  solid: bool = False):
+                  solid: bool = False, multiple_of=None):
     """Pick the cell grid minimizing the dense-kernel cost model
     ncells * nstencil * C^2 over a few candidate resolutions.
 
     Coarser grids can win when they are commensurate with the data's
     structure (lower padded capacity C); the cost is evaluated with the
     actual initial occupancy, so the choice is data-driven.
-    """
+
+    multiple_of: per-dim divisibility constraint (the mesh grid of a
+    spatial decomposition — each device must own a whole number of
+    cells). Candidates snap DOWN to the nearest multiple (binsize only
+    grows, so binsize >= cutneigh is preserved); on a 1-device mesh this
+    is the identity and the sharded loop rides exactly the single-device
+    grid (the pre-r5 choose_grid default cost the sharded-on-1-chip path
+    ~25% at 131k: 19^3 vs the autotuned 17^3). Caveat: snapping can
+    surface marginal candidates the coarse frac sweep skips on purpose
+    (the nb=32 864k trap in the NOTE below); the rebin overflow counter +
+    grow-and-replay keep such a choice correct, just slower."""
     prd = np.asarray(prd, dtype=np.float64)
     base = np.maximum(1, np.floor(prd / cutneigh).astype(int))
+    mult = (np.maximum(1, np.asarray(multiple_of, dtype=int))
+            if multiple_of is not None else None)
     best, best_cost = None, np.inf
     tried = set()
     # NOTE (measured negative): a dense sweep hitting EVERY integer grid
@@ -125,6 +137,8 @@ def autotune_grid(prd, cutneigh: float, positions: np.ndarray,
     # coarse sweep's skipping of marginal intermediate grids is kept.
     for frac in (1.0, 0.95, 0.9, 0.85, 0.8, 0.75, 0.7, 0.65, 0.6):
         nb = tuple(int(max(1, np.floor(b * frac))) for b in base)
+        if mult is not None:
+            nb = tuple(int(max(m, (b // m) * m)) for b, m in zip(nb, mult))
         if nb in tried:
             continue
         tried.add(nb)

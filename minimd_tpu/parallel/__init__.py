@@ -134,11 +134,22 @@ class ShardedSimulation:
         scales = thermo_scales(inp.units, natoms, volume)
 
         grid = min_surface_grid(len(devices), prd)
-        # cell grid must divide the mesh: snap each dim down to a multiple
-        base = cells.choose_grid(prd, inp.neigh_cut, nbins)
-        nb = tuple(max(g, (b // g) * g) for b, g in zip(base, grid))
+        # Same data-driven geometry policy as the single-device Simulation
+        # (autotuned grid + solid capacity vouch), with the cell grid
+        # constrained to divide the mesh. The pre-r5 choose_grid default
+        # bypassed the autotuner and cost the sharded-on-1-chip loop ~25%
+        # at 131k (19^3 vs the autotuned 17^3 — measured via
+        # scripts/exp_shard1.py: shard_map itself is +0.4%).
+        solid = inp.forcetype == FORCE_EAM and inp.datafile is None
+        if nbins is None:
+            nb = cells.autotune_grid(prd, inp.neigh_cut, x_np, solid=solid,
+                                     multiple_of=grid)
+        else:
+            # user-pinned grid: snap each dim down to a mesh multiple
+            base = cells.choose_grid(prd, inp.neigh_cut, nbins)
+            nb = tuple(max(g, (b // g) * g) for b, g in zip(base, grid))
         geom = cells.build_geometry(prd, inp.neigh_cut, x_np, nbins=nb,
-                                    capacity=capacity)
+                                    capacity=capacity, solid=solid)
         mesh = make_mesh(devices, prd, grid)
 
         dtforce = 0.5 * inp.dt

@@ -82,9 +82,12 @@ def main():
     # shard_map plumbing + the migration/halo machinery. Measured on the
     # r5 toolchain (2026-08-19): ratio 1.03 at this -s 16 / nstat=1
     # config (both programs pay per-step thermo, so the sharded overhead
-    # disappears into it), 0.768 at the 131k bench config (nstat=100;
-    # bench.py's sharded_1chip_ratio companion carries it on the
-    # record). Threshold = measured-minus-margin: a structural
+    # disappears into it). At the 131k bench config (nstat=100) the
+    # companion first read 0.768 — that gap was the sharded constructor
+    # bypassing the grid autotuner (choose_grid 19^3 vs autotuned 17^3),
+    # fixed 2026-08-20; post-fix the bench companion reads 1.027
+    # (bench.py's sharded_1chip_ratio carries it on the record).
+    # Threshold = measured-minus-margin: a structural
     # regression — e.g. a halo exchange falling off the fused path —
     # shows up as 2x+, far below this band.
     th_s = throughput_slope(ssim)
