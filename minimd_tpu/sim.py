@@ -468,7 +468,8 @@ class Simulation:
             # per-coordinate grids either way (ops/lj_pallas.py force()).
             triple_on = (large if TRIPLE_CARRY == "auto" else TRIPLE_CARRY)
             triple = (triple_on and aligned and not self._fused_step
-                      and getattr(force_noev, "accepts_triple", False))
+                      and getattr(force_noev, "accepts_triple", False)
+                      and getattr(force_ev, "accepts_triple", False))
             wcarry_on = (large if W_CARRY == "auto" else W_CARRY)
             wcarry = wcarry_on and aligned and not self._fused_step
 
@@ -557,6 +558,46 @@ class Simulation:
                                            n0 + every - 1)
                     return c, jnp.concatenate([tr, row[None]], axis=0)
 
+            rebin_triple = getattr(rebin_fn, "accepts_triple", False)
+
+            def reneigh_triple(ct, n):
+                """reneigh_step on the triple carry: kick/drift/rebin run
+                per coordinate on densely-tiled (M,) arrays (no (3, M)
+                sublane padding, no stack/unstack at interval boundaries).
+                Bit-identical to reneigh_step: elementwise ops per
+                coordinate slice, the rebin's wrap/cell arithmetic is the
+                same per-coordinate math (ops/rebin_pallas.rebin), and the
+                thermo row reduces over the stacked (3, M) v exactly like
+                finish() (the stack IS the (3, M) array, and it only
+                materializes inside the evflag branch)."""
+                x, v, f, typ = ct
+                v = tuple(v[j] + dtf * f[j] for j in range(3))
+                x = tuple(x[j] + dt * v[j] for j in range(3))
+                if rebin_triple:
+                    x, v, typ, ovf = rebin_fn(x, v, typ, geom)
+                else:
+                    xs2, vs2, typ, ovf = rebin_fn(
+                        jnp.stack(x), jnp.stack(v), typ, geom)
+                    x = tuple(xs2[j] for j in range(3))
+                    v = tuple(vs2[j] for j in range(3))
+                evflag = ((n + 1) % nstat == 0) | (n == ntimes - 1)
+                f, eng, vir = jax.lax.cond(evflag, force_ev, force_noev,
+                                           x, typ)
+                v = tuple(v[j] + dtf * f[j] for j in range(3))
+
+                def row(v, eng, vir):
+                    t = thermo.temperature(jnp.stack(v), mass, scales)
+                    u = thermo.energy(eng, natoms, scales)
+                    p = thermo.pressure(t, vir, scales)
+                    return t, u, p
+
+                zero = jnp.zeros((), v[0].dtype)
+                t, u, p = jax.lax.cond(
+                    evflag, row, lambda *_a: (zero, zero, zero),
+                    v, eng, vir)
+                return (x, v, f, typ), jnp.stack(
+                    [t, u, p, ovf.astype(t.dtype)])
+
             def run_fn(s: MDState):
                 """Interval-nested scan: (every-1) plain steps + one
                 statically-reneighboring step per interval — no per-step
@@ -565,19 +606,22 @@ class Simulation:
 
                 def interval(c, i):
                     n0 = i * every
-                    if triple:
-                        x, v, f, typ = c
-                        ct = (tuple(x[j] for j in range(3)),
-                              tuple(v[j] for j in range(3)),
-                              tuple(f[j] for j in range(3)), typ)
-                        ct, tr = jax.lax.scan(plain_noev_triple, ct,
-                                              n0 + jnp.arange(every - 1))
-                        c = tuple(jnp.stack(a) for a in ct[:3]) + (ct[3],)
-                    else:
-                        c, tr = jax.lax.scan(plain_interval, c,
-                                             n0 + jnp.arange(every - 1))
+                    c, tr = jax.lax.scan(plain_interval, c,
+                                         n0 + jnp.arange(every - 1))
                     c, row = reneigh_step(c, n0 + every - 1)
                     return c, jnp.concatenate([tr, row[None]], axis=0)
+
+                def interval_triple(ct, i):
+                    # the triple carry stays triple ACROSS intervals (the
+                    # old form stacked back to (3, M) for every reneigh
+                    # step — 6 relayout copies per interval plus 2.7x-
+                    # padded kicks; now the stack happens once per run,
+                    # in the epilogue below)
+                    n0 = i * every
+                    ct, tr = jax.lax.scan(plain_noev_triple, ct,
+                                          n0 + jnp.arange(every - 1))
+                    ct, row = reneigh_triple(ct, n0 + every - 1)
+                    return ct, jnp.concatenate([tr, row[None]], axis=0)
 
                 def interval_w(c, i):
                     # W_CARRY: seed w = v + dtf*f (step n0's first kick),
@@ -637,7 +681,16 @@ class Simulation:
 
                 trace_parts = []
                 if k > 0:
-                    c, tr = jax.lax.scan(interval, c, jnp.arange(k))
+                    if triple and not wcarry and not self._fused_step:
+                        x, v, f, typ = c
+                        ct = (tuple(x[j] for j in range(3)),
+                              tuple(v[j] for j in range(3)),
+                              tuple(f[j] for j in range(3)), typ)
+                        ct, tr = jax.lax.scan(interval_triple, ct,
+                                              jnp.arange(k))
+                        c = tuple(jnp.stack(a) for a in ct[:3]) + (ct[3],)
+                    else:
+                        c, tr = jax.lax.scan(interval, c, jnp.arange(k))
                     trace_parts.append(tr.reshape(k * every, 4))
                 if r > 0:
                     c, tr = jax.lax.scan(plain, c, k * every + jnp.arange(r))

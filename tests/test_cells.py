@@ -102,3 +102,15 @@ def test_rebin_pallas_matches_rebin_local(nbins):
     np.testing.assert_array_equal(np.asarray(xr), np.asarray(xp))
     np.testing.assert_array_equal(np.asarray(vr), np.asarray(vp))
     np.testing.assert_array_equal(np.asarray(tr), np.asarray(tp))
+
+    # triple form (sim.TRIPLE_CARRY reneigh path): tuple-of-(M,) in,
+    # tuple-of-(M,) out, bit-identical to the stacked form
+    assert rp.__wrapped__.accepts_triple
+    x3, v3, t3, o3 = jax.jit(rp.__wrapped__)(
+        tuple(xd[d] for d in range(3)),
+        tuple(st.v[d] for d in range(3)), st.typ)
+    assert int(o3) == int(ov)
+    for d in range(3):
+        np.testing.assert_array_equal(np.asarray(xr[d]), np.asarray(x3[d]))
+        np.testing.assert_array_equal(np.asarray(vr[d]), np.asarray(v3[d]))
+    np.testing.assert_array_equal(np.asarray(tr), np.asarray(t3))

@@ -395,16 +395,21 @@ def test_triple_carry_bit_identical():
         inp.nx = inp.ny = inp.nz = 6
         inp.thermo_nstat = 20   # aligned with neigh_every=20
         s = Simulation.from_input(inp, dtype=jnp.float32, backend="xla")
-        base = s.force_fn_noev
 
-        def adapter(x, typ):
-            if isinstance(x, (tuple, list)):
-                f, e, v = base(jnp.stack(x), typ)
-                return tuple(f[c] for c in range(3)), e, v
-            return base(x, typ)
+        def wrap(base):
+            def adapter(x, typ):
+                if isinstance(x, (tuple, list)):
+                    f, e, v = base(jnp.stack(x), typ)
+                    return tuple(f[c] for c in range(3)), e, v
+                return base(x, typ)
 
-        adapter.accepts_triple = True
-        s.force_fn_noev = adapter
+            adapter.accepts_triple = True
+            return adapter
+
+        # both variants: the triple carry now spans the reneigh step too,
+        # whose evflag cond calls force_fn (ev) on the triple carry
+        s.force_fn_noev = wrap(s.force_fn_noev)
+        s.force_fn = wrap(s.force_fn)
         return s
 
     old = sim_mod.TRIPLE_CARRY
