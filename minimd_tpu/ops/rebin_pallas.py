@@ -214,7 +214,8 @@ def make_rebin_pull_pallas(geom: CellGeometry, nb_local=None,
     return pull
 
 
-def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
+def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False,
+                         nch: int = _NCH):
     """Single-device z-slab variant of make_rebin_pull_pallas (same pull
     contract, bit-identical output — tested against rebin_local).
 
@@ -242,10 +243,10 @@ def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
 
     def kernel(*refs):
         cid_refs = refs[0:3]                     # (1, nby, nbx, LANE) int32
-        val_refs = refs[3:3 + 3 * _NCH]          # channel-major, then dz
-        out_refs = refs[3 + 3 * _NCH:3 + 4 * _NCH]   # (1, nby, nbx, C)
-        occ_ref = refs[3 + 4 * _NCH]             # (1, nby, nbx, C)
-        ovf_ref = refs[3 + 4 * _NCH + 1]         # (1, 8, 128)
+        val_refs = refs[3:3 + 3 * nch]          # channel-major, then dz
+        out_refs = refs[3 + 3 * nch:3 + 4 * nch]   # (1, nby, nbx, C)
+        occ_ref = refs[3 + 4 * nch]             # (1, nby, nbx, C)
+        ovf_ref = refs[3 + 4 * nch + 1]         # (1, 8, 128)
 
         z = pl.program_id(0)
         rank_row = jax.lax.broadcasted_iota(
@@ -263,7 +264,7 @@ def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
             target = (z * nby + y) * nbx + xiot
             base = jnp.zeros((nbx, 1), jnp.float32)
             outs = [jnp.zeros((nbx, LANE), jnp.float32)
-                    for _ in range(_NCH)]
+                    for _ in range(nch)]
             for dz in range(3):                  # (dz, dy) views in order
                 for dy in range(3):
                     r = jax.lax.rem(y + dy - 1 + nby, nby)
@@ -283,12 +284,12 @@ def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
                         [srcl, jnp.zeros((nbx, LANE - C), jnp.float32)],
                         axis=1).astype(jnp.int32)
                     filled = (d_io >= base) & (d_io < base + count)
-                    for c in range(_NCH):
+                    for c in range(nch):
                         v = val_refs[c * 3 + dz][0, r]   # (nbx, LANE)
                         g = jnp.take_along_axis(v, srci, axis=1)
                         outs[c] = jnp.where(filled, g, outs[c])
                     base = base + count
-            for c in range(_NCH):
+            for c in range(nch):
                 out_refs[c][0, y] = outs[c][:, :C]
             occ = (jax.lax.broadcasted_iota(jnp.int32, (nbx, C), 1)
                    .astype(jnp.float32) < base)
@@ -321,7 +322,7 @@ def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
             memory_space=pltpu.VMEM)
 
     in_specs = ([zspec(dz) for dz in range(3)]
-                + [zspec(dz) for _c in range(_NCH) for dz in range(3)])
+                + [zspec(dz) for _c in range(nch) for dz in range(3)])
     out_spec = pl.BlockSpec((1, nby, nbx, C), lambda z: (z, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((1, 8, 128), lambda z: (z, 0, 0),
@@ -330,10 +331,10 @@ def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
         kernel,
         grid=(nbz,),
         in_specs=in_specs,
-        out_specs=(*(out_spec,) * (_NCH + 1), s_spec),
+        out_specs=(*(out_spec,) * (nch + 1), s_spec),
         out_shape=(
             *(jax.ShapeDtypeStruct((nbz, nby, nbx, C), jnp.float32),)
-            * (_NCH + 1),
+            * (nch + 1),
             jax.ShapeDtypeStruct((nbz, 8, 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
@@ -342,7 +343,7 @@ def make_rebin_pull_slab(geom: CellGeometry, interpret: bool = False):
     )
 
     def pull(cid, chans):
-        assert len(chans) == _NCH
+        assert len(chans) == nch
         cid_pack = pack_x(cid, jnp.int32(-1))
         packs = [pack_x(c, 0.0) for c in chans]
         args = [cid_pack] * 3 + [p for p in packs for _dz in range(3)]
@@ -367,9 +368,16 @@ def slab_vmem_bytes(geom: CellGeometry) -> int:
 
 
 def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
-                      interpret: bool = False):
+                      interpret: bool = False, uniform_typ: int | None = None):
     """Returns fn(x, v, typ) -> (x, v, typ, overflow), drop-in for
-    cells.rebin_local (f32, TPU)."""
+    cells.rebin_local (f32, TPU).
+
+    uniform_typ: when the caller KNOWS every atom has this one type
+    (concrete check at Simulation construction — rebin can never
+    introduce new types), the typ channel is dropped from the pull and
+    reconstructed from occupancy (new_t = uniform_typ where occupied,
+    0 on empty slots — exactly what the pull would have produced), saving
+    one channel of pack + slab DMA + per-view gathers."""
     assert dtype == jnp.float32, "pallas rebin kernel is f32"
     nbx, nby, nbz = geom.nb
     assert min(geom.nb) >= 3, "local rebin needs distinct wrap neighbors"
@@ -377,8 +385,10 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
     M = geom.nslots
     LANE = _round_up(3 * C, 128)
     eligible = LANE == 128 and slab_vmem_bytes(geom) < 80 * 1024 * 1024
-    if eligible and (SLAB if SLAB != "auto" else True):
-        pull = make_rebin_pull_slab(geom, interpret=interpret)
+    slab = eligible and (SLAB if SLAB != "auto" else True)
+    nch = 6 if (slab and uniform_typ is not None) else _NCH
+    if slab:
+        pull = make_rebin_pull_slab(geom, interpret=interpret, nch=nch)
     else:
         pull = make_rebin_pull_pallas(geom, interpret=interpret)
 
@@ -426,14 +436,18 @@ def make_rebin_pallas(geom: CellGeometry, dtype=jnp.float32,
         ok = near(ox_, nx_, nbx) & near(oy_, ny_, nby) & near(oz_, nz_, nbz)
         overflow = jnp.sum(valid & ~ok).astype(jnp.int32)
 
-        chans = [xs[0], xs[1], xs[2], v[0], v[1], v[2],
-                 typ.astype(jnp.float32)]
+        chans = [xs[0], xs[1], xs[2], v[0], v[1], v[2]]
+        if nch == _NCH:
+            chans.append(typ.astype(jnp.float32))
         outs, counts, cap_ovf = pull(cid, chans)
 
         occ = (jnp.arange(C, dtype=jnp.int32)[None, :]
                < counts[:, None]).reshape(M)
         sent = sentinel_positions(M, dtype)
-        new_t = jnp.where(occ, outs[6].reshape(M).astype(jnp.int32), 0)
+        if nch == _NCH:
+            new_t = jnp.where(occ, outs[6].reshape(M).astype(jnp.int32), 0)
+        else:
+            new_t = jnp.where(occ, jnp.int32(uniform_typ), 0)
         overflow = overflow + cap_ovf
         if triple:
             # sent[1] == sent[2] == 0 (sentinel_positions), so the scalar

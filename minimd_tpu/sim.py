@@ -493,8 +493,16 @@ class Simulation:
                     and min(geom.nb) >= 3
                     and jax.default_backend() not in ("cpu",)):
                 from .ops.rebin_pallas import make_rebin_pallas
-                _rp = make_rebin_pallas(geom)
+                # concrete uniform-type check (MD never changes types, and
+                # rebin moves them verbatim): lets the kernel drop the typ
+                # pull channel and reconstruct it from occupancy
+                typ_c = np.asarray(self.state.typ)[np.asarray(self.state.valid)]
+                uni = np.unique(typ_c)
+                _rp = make_rebin_pallas(
+                    geom,
+                    uniform_typ=int(uni[0]) if len(uni) == 1 else None)
                 rebin_fn = lambda x, v, typ, _g: _rp(x, v, typ)
+                rebin_fn.accepts_triple = True
             else:
                 rebin_fn = (cells.rebin_local if min(geom.nb) >= 3
                             else cells.rebin_lean)

@@ -114,3 +114,12 @@ def test_rebin_pallas_matches_rebin_local(nbins):
         np.testing.assert_array_equal(np.asarray(xr[d]), np.asarray(x3[d]))
         np.testing.assert_array_equal(np.asarray(vr[d]), np.asarray(v3[d]))
     np.testing.assert_array_equal(np.asarray(tr), np.asarray(t3))
+
+    # uniform-type kernel (typ channel dropped, reconstructed from
+    # occupancy): bit-identical when every atom shares one type
+    rp_u = jax.jit(make_rebin_pallas(geom, interpret=True, uniform_typ=0))
+    xu, vu, tu, ou = rp_u(xd, st.v, st.typ)
+    assert int(ou) == int(ov)
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(xu))
+    np.testing.assert_array_equal(np.asarray(vr), np.asarray(vu))
+    np.testing.assert_array_equal(np.asarray(tr), np.asarray(tu))
